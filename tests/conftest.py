@@ -13,6 +13,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The env var alone is not honored in this image (the experimental "axon" TPU
+# plugin still wins), so force the platform through the config API too —
+# otherwise every test compile goes over the TPU tunnel at ~30-50s each.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,102 @@
+"""Device ops vs the CPU oracle (SURVEY.md §4 item 1).
+
+Each op must reproduce the oracle voxel-for-voxel (exact for integer-valued
+outputs like defect masks and borders, float32-tolerance for scalar metrics).
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ventjax import oracle
+from ventjax.ops import (
+    calculate_snr,
+    gradient_border,
+    median3x3_binary,
+    minmax_normalize,
+    masked_sorted_index,
+    vdp_kmeans,
+    vdp_linear_binning,
+    vdp_mean_anchored,
+)
+
+
+@pytest.fixture(scope="module")
+def n4_pair(phantom_small):
+    """Oracle N4 output used as a fixed input to the VDP ops."""
+    n4 = oracle.n4_bias_correction_oracle(phantom_small.hp, phantom_small.mask)
+    return n4, phantom_small
+
+
+def test_normalize_matches(rng):
+    x = rng.normal(size=(16, 16, 4)).astype(np.float32)
+    assert np.allclose(np.asarray(minmax_normalize(jnp.asarray(x))),
+                       oracle.normalize(x), atol=1e-7)
+
+
+def test_border_matches(phantom_small):
+    dev = np.asarray(gradient_border(jnp.asarray(phantom_small.mask)))
+    assert np.array_equal(dev, oracle.calculate_border(phantom_small.mask))
+
+
+def test_median3x3_matches_scipy(rng):
+    from scipy.signal import medfilt2d
+    x = (rng.random((32, 32, 4)) > 0.6).astype(np.float32)
+    dev = np.asarray(median3x3_binary(jnp.asarray(x)))
+    want = np.stack([medfilt2d(x[:, :, k]) for k in range(4)], axis=2)
+    assert np.array_equal(dev, want)
+
+
+def test_masked_sorted_index_floor_convention(rng):
+    x = rng.normal(size=(10, 10, 1)).astype(np.float32)
+    m = (rng.random((10, 10, 1)) > 0.3).astype(np.float32)
+    vals = sorted(x[m > 0])
+    want = vals[int(len(vals) * 0.99)]
+    got = float(masked_sorted_index(jnp.asarray(x), jnp.asarray(m), 0.99))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_snr_matches(phantom_small):
+    dev = float(calculate_snr(jnp.asarray(phantom_small.hp),
+                              jnp.asarray(phantom_small.mask)))
+    want = oracle.calculate_snr(phantom_small.hp, phantom_small.mask)
+    assert dev == pytest.approx(want, rel=1e-5)
+
+
+def test_snr_mask_touching_row0(rng):
+    """Exercise the quirky rr/ss index-0 behavior with a mask at the corner."""
+    mask = np.zeros((48, 48, 6))
+    mask[0:10, 1:12, 0:3] = 1.0
+    a = rng.normal(10, 2, mask.shape).astype(np.float32) + 50 * mask
+    dev = float(calculate_snr(jnp.asarray(a), jnp.asarray(mask), fov_buffer=5))
+    want = oracle.calculate_snr(a, mask, fov_buffer=5)
+    assert dev == pytest.approx(want, rel=1e-5)
+
+
+def test_vdp_mean_anchored_matches(n4_pair):
+    n4, ph = n4_pair
+    n4j = jnp.asarray(n4.astype(np.float32))
+    d_dev, v_dev = vdp_mean_anchored(n4j, jnp.asarray(ph.mask))
+    d_or, v_or = oracle.vdp_mean_anchored(n4, ph.mask)
+    assert np.array_equal(np.asarray(d_dev), d_or)
+    assert float(v_dev) == pytest.approx(v_or, abs=1e-4)
+
+
+def test_vdp_linear_binning_matches(n4_pair):
+    n4, ph = n4_pair
+    n4j = jnp.asarray(n4.astype(np.float32))
+    lb_dev, v_dev = vdp_linear_binning(n4j, jnp.asarray(ph.mask))
+    lb_or, v_or = oracle.vdp_linear_binning(n4, ph.mask)
+    assert np.array_equal(np.asarray(lb_dev), lb_or)
+    assert float(v_dev) == pytest.approx(v_or, abs=1e-4)
+
+
+def test_vdp_kmeans_matches(n4_pair):
+    n4, ph = n4_pair
+    n4j = jnp.asarray(n4.astype(np.float32))
+    km_dev, v_dev = vdp_kmeans(n4j, jnp.asarray(ph.mask))
+    km_or, v_or = oracle.vdp_kmeans(n4, ph.mask)
+    # float32 vs float64 Lloyd's can flip voxels exactly on a boundary;
+    # require metric agreement well under the 0.1pp fidelity budget.
+    assert float(v_dev) == pytest.approx(v_or, abs=0.05)
+    frac_diff = np.mean(np.asarray(km_dev) != km_or)
+    assert frac_diff < 1e-3

@@ -1,0 +1,59 @@
+"""Elementwise / reduction utilities shared across the pipeline.
+
+All functions take and return jnp arrays, run under jit, and use only
+static-shape-friendly primitives (masked reductions instead of boolean
+indexing, sort-with-sentinel instead of compaction).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """(x - min) / (max - min) with the reference's zero-range guard
+    (Vent_Analysis.py:233-237)."""
+    lo = jnp.min(x)
+    hi = jnp.max(x)
+    rng = hi - lo
+    return jnp.where(rng == 0, x, (x - lo) / jnp.where(rng == 0, 1.0, rng))
+
+
+def gradient_border(a: jnp.ndarray) -> jnp.ndarray:
+    """Per-slice gradient border of a binary [H,W,D] volume
+    (Vent_Analysis.py:225-231): border = (d/drow != 0) | (d/dcol != 0).
+
+    np.gradient along axes 0/1 of each slice equals the 3-D gradient along
+    those axes because slices are independent, so this is fully vectorized.
+    """
+    a = a.astype(jnp.float32)
+    gr = jnp.gradient(a, axis=0)
+    gc = jnp.gradient(a, axis=1)
+    return ((gr != 0) | (gc != 0)).astype(jnp.float32)
+
+
+def masked_mean(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    w = m.astype(x.dtype)
+    return jnp.sum(x * w) / jnp.sum(w)
+
+
+def masked_std(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Population std (ddof=0, like np.std) over the masked voxels."""
+    w = m.astype(x.dtype)
+    n = jnp.sum(w)
+    mu = jnp.sum(x * w) / n
+    return jnp.sqrt(jnp.sum(w * (x - mu) ** 2) / n)
+
+
+def masked_sorted_index(x: jnp.ndarray, m: jnp.ndarray, frac: float) -> jnp.ndarray:
+    """sorted(x[m>0])[int(count * frac)] with static shapes.
+
+    Mirrors the reference's floor-index percentile convention
+    (Vent_Analysis.py:255 `signal_list[int(len(signal_list)*.99)]` and
+    :269 `CVlist[int(0.95*len(CVlist))]`).  Masked-out voxels are pushed to
+    +inf so the sorted prefix is exactly the masked values ascending.
+    """
+    flat = jnp.where(m.reshape(-1) > 0, x.reshape(-1), jnp.inf)
+    srt = jnp.sort(flat)
+    count = jnp.sum(m > 0)
+    idx = (count * frac).astype(jnp.int32)
+    return srt[idx]
