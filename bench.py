@@ -1,0 +1,84 @@
+"""Benchmark: fused N4+VDP+CI study pipeline, volumes/sec/chip.
+
+Headline configuration from /root/repo/BASELINE.json: full 3-D xenon
+ventilation analysis (N4 bias correction, SNR, mean-anchored + linear-binning
++ k-means VDP, CI defect-cluster map) on 128x128x16 volumes, batched.
+
+The reference pipeline runs one subject at a time on CPU: N4 is seconds and
+the CI map is minutes per subject (BASELINE.md), i.e. throughput on the order
+of 0.01-0.02 volumes/sec.  The north-star target for this framework is
+>= 100 volumes/sec/chip; `vs_baseline` reports the measured value against a
+conservative 1/60s-per-subject (0.0167 vol/s) reading of the reference's own
+timing prints.
+
+Prints exactly one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+REFERENCE_VOL_PER_SEC = 1.0 / 60.0  # CI.py prints elapsed minutes per subject
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--shape", type=int, nargs=3, default=(128, 128, 16))
+    p.add_argument("--max-defect", type=int, default=4096)
+    p.add_argument("--ci-chunk", type=int, default=64)
+    p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.io.phantom import make_cohort
+    from ventjax.pipeline import analyze_cohort
+    from ventjax.pipeline.analyze import build_geometry
+
+    shape = tuple(args.shape)
+    vox = (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(ci_max_defect_voxels=args.max_defect)
+    geom = build_geometry(vox, shape, cfg)
+
+    hp, mask, _ = make_cohort(args.batch, shape=shape, vox=vox, seed=0)
+    hp = jnp.asarray(hp)
+    mask = jnp.asarray(mask)
+
+    fn = jax.jit(lambda h, m: analyze_cohort(h, m, geom, cfg))
+
+    # warmup / compile.  NOTE: block_until_ready is unreliable on the
+    # experimental axon platform — force a host transfer to synchronize.
+    res = fn(hp, mask)
+    np.asarray(res.metrics.vdp)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        res = fn(hp, mask)
+        np.asarray(res.metrics.vdp)
+    dt = time.perf_counter() - t0
+
+    vols_per_sec = args.batch * args.iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "fused_n4_vdp_ci_volumes_per_sec_per_chip",
+                "value": round(vols_per_sec, 3),
+                "unit": "volumes/sec/chip (128x128x16, N4+SNR+3xVDP+CI)",
+                "vs_baseline": round(vols_per_sec / REFERENCE_VOL_PER_SEC, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

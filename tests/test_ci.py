@@ -4,7 +4,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from ventjax.ops.ci import build_ci_geometry, calculate_ci
+from ventjax.ops.ci import build_ci_geometry, calculate_ci, calculate_ci_staged
+from ventjax.ops.ci_pairwise import (
+    build_ci_pairwise_geometry,
+    calculate_ci_pairwise,
+)
 from ventjax.oracle.ci_oracle import calculate_ci_oracle, subject_ci
 
 
@@ -65,6 +69,57 @@ def test_ci_overflow_flag():
     geom = build_ci_geometry(VOX, defect.shape, 50, "wrap")
     _, _, ovf = calculate_ci(jnp.asarray(defect), geom, max_defect_voxels=512, chunk=128)
     assert bool(ovf)
+
+
+def test_ci_staged_matches_oracle():
+    defect = _fixed_defect()
+    geom = build_ci_geometry(VOX, defect.shape, 50, "wrap")
+    ci, nsat, ovf, sovf = calculate_ci_staged(
+        jnp.asarray(defect), geom, max_defect_voxels=512
+    )
+    want = calculate_ci_oracle(defect, vox=VOX, rmax=50)
+    assert int(sovf) == 0 and not bool(ovf) and int(nsat) == 0
+    assert np.abs(np.asarray(ci) - want).max() < 2e-5
+
+
+def test_ci_pairwise_matches_oracle():
+    defect = _fixed_defect()
+    geom = build_ci_pairwise_geometry(VOX, defect.shape, 50, "wrap")
+    ci, nsat, ovf = calculate_ci_pairwise(
+        jnp.asarray(defect), geom, max_defect_voxels=512, row_chunk=128
+    )
+    want = calculate_ci_oracle(defect, vox=VOX, rmax=50)
+    assert not bool(ovf) and int(nsat) == 0
+    assert np.abs(np.asarray(ci) - want).max() < 2e-5
+
+
+def test_ci_pairwise_saturation():
+    defect = np.ones((16, 16, 16), np.float32)
+    geom = build_ci_pairwise_geometry((1.0, 1.0, 1.0), defect.shape, 6, "wrap")
+    ci, nsat, _ = calculate_ci_pairwise(
+        jnp.asarray(defect), geom, max_defect_voxels=4096, row_chunk=512
+    )
+    want = calculate_ci_oracle(defect, vox=(1.0, 1.0, 1.0), rmax=6, saturate=True)
+    assert int(nsat) > 0
+    assert np.abs(np.asarray(ci) - want).max() < 2e-5
+
+
+def test_ci_pairwise_pad_matches_ladder_pad():
+    defect = _fixed_defect()
+    gp = build_ci_pairwise_geometry(VOX, defect.shape, 50, "pad")
+    gl = build_ci_geometry(VOX, defect.shape, 50, "pad")
+    ci_p, _, _ = calculate_ci_pairwise(jnp.asarray(defect), gp, 512, 128)
+    ci_l, _, _ = calculate_ci(jnp.asarray(defect), gl, 512, 128)
+    assert np.array_equal(np.asarray(ci_p), np.asarray(ci_l))
+
+
+def test_ci_pairwise_random_defects_match_oracle(rng):
+    """Randomized sparse defects, including border voxels (aliasing)."""
+    defect = (rng.random((32, 28, 6)) > 0.97).astype(np.float32)
+    geom = build_ci_pairwise_geometry(VOX, defect.shape, 50, "wrap")
+    ci, _, _ = calculate_ci_pairwise(jnp.asarray(defect), geom, 256, 64)
+    want = calculate_ci_oracle(defect, vox=VOX, rmax=50, saturate=True)
+    assert np.abs(np.asarray(ci) - want).max() < 2e-5
 
 
 def test_ci_pad_mode_interior_equals_wrap():

@@ -1,0 +1,81 @@
+"""Fused pipeline end-to-end vs the oracle chain, batching, error isolation."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ventjax import oracle
+from ventjax.config import DEFAULT_CONFIG
+from ventjax.io.phantom import make_cohort, make_phantom
+from ventjax.oracle.ci_oracle import calculate_ci_oracle, subject_ci
+from ventjax.pipeline import make_analyze_fn
+
+CFG = DEFAULT_CONFIG.replace(ci_max_defect_voxels=1024)
+SHAPE = (64, 64, 8)
+VOX = (1.5, 1.5, 10.0)
+
+
+@pytest.fixture(scope="module")
+def result_and_oracle():
+    ph = make_phantom(shape=SHAPE, vox=VOX, seed=5)
+    fn = make_analyze_fn(VOX, SHAPE, CFG)
+    res = fn(jnp.asarray(ph.hp), jnp.asarray(ph.mask))
+    n4_or = oracle.n4_bias_correction_oracle(ph.hp, ph.mask)
+    return ph, res, n4_or
+
+
+def test_pipeline_vdp_within_budget(result_and_oracle):
+    """The driver's fidelity gate: |dVDP| < 0.1pp device-vs-oracle, e2e."""
+    ph, res, n4_or = result_and_oracle
+    _, vdp_or = oracle.vdp_mean_anchored(n4_or, ph.mask)
+    _, vdp_lb_or = oracle.vdp_linear_binning(n4_or, ph.mask)
+    assert abs(float(res.metrics.vdp) - vdp_or) < 0.1
+    assert abs(float(res.metrics.vdp_lb) - vdp_lb_or) < 0.1
+
+
+def test_pipeline_ci_matches_oracle_chain(result_and_oracle):
+    """CI map computed from the device defect array matches the oracle CI of
+    that same defect array voxel-wise."""
+    ph, res, _ = result_and_oracle
+    defect = np.asarray(res.defect)
+    want = calculate_ci_oracle(defect, vox=VOX, rmax=50, saturate=True)
+    assert np.abs(np.asarray(res.ci_map) - want).max() < 2e-5
+    assert float(res.metrics.ci) == pytest.approx(
+        subject_ci(want, defect), abs=2e-5
+    )
+
+
+def test_pipeline_volumes(result_and_oracle):
+    ph, res, _ = result_and_oracle
+    want_lv = oracle.reference.lung_volume_liters(ph.mask, VOX)
+    assert float(res.metrics.lung_volume) == pytest.approx(want_lv, rel=1e-6)
+    assert float(res.metrics.snr) == pytest.approx(
+        oracle.calculate_snr(ph.hp, ph.mask), rel=1e-4
+    )
+    assert bool(res.metrics.valid)
+    d = res.metrics.as_dict()
+    assert set(d) >= {"SNR", "VDP", "VDP_lb", "VDP_km", "LungVolume",
+                      "DefectVolume", "CI"}
+
+
+def test_pipeline_batch_lane_equals_single():
+    hp, mask, _ = make_cohort(3, shape=SHAPE, vox=VOX, seed=11)
+    single = make_analyze_fn(VOX, SHAPE, CFG)
+    batched = make_analyze_fn(VOX, SHAPE, CFG, batched=True)
+    rb = batched(jnp.asarray(hp), jnp.asarray(mask))
+    r1 = single(jnp.asarray(hp[1]), jnp.asarray(mask[1]))
+    assert np.array_equal(np.asarray(rb.ci_map[1]), np.asarray(r1.ci_map))
+    assert float(rb.metrics.vdp[1]) == float(r1.metrics.vdp)
+
+
+def test_pipeline_empty_mask_isolated():
+    """A subject with an empty mask yields NaN metrics + valid=False without
+    poisoning the other lanes (SURVEY.md §5 failure detection)."""
+    hp, mask, _ = make_cohort(3, shape=SHAPE, vox=VOX, seed=2)
+    mask[1] = 0.0
+    batched = make_analyze_fn(VOX, SHAPE, CFG, batched=True)
+    res = batched(jnp.asarray(hp), jnp.asarray(mask))
+    valid = np.asarray(res.metrics.valid)
+    vdp = np.asarray(res.metrics.vdp)
+    assert list(valid) == [True, False, True]
+    assert np.isnan(vdp[1]) and np.isfinite(vdp[0]) and np.isfinite(vdp[2])

@@ -75,6 +75,11 @@ class VentConfig:
     # Saturate CV at Rmax instead of raising (reference raises ValueError at
     # CI.py:101-104); saturation count is surfaced in StudyMetrics.
     ci_saturate_rmax: bool = True
+    # CI engine: "pairwise" (order-statistics over pairwise defect-voxel
+    # distances; the TPU fast path, exactness guarded at geometry build),
+    # "ladder" (stage-laddered indicator gathers), or "full" (flat gather
+    # scan).  All three are exact; they differ only in speed.
+    ci_engine: str = "pairwise"
 
     # ---- N4 bias-field correction (ITK defaults; Vent_Analysis.py:316-334) ---
     # The reference calls SimpleITK's N4BiasFieldCorrectionImageFilter with all

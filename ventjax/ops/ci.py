@@ -191,3 +191,177 @@ def calculate_ci(
     ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
     ci_map = ci_flat.reshape(H, W, D)
     return ci_map, jnp.sum(saturated), n_def > K
+
+
+def _snap_stage_rows(geom: CIGeometry, stage_rows) -> list:
+    """Snap requested stage row boundaries to complete-ball row counts."""
+    ends = geom.shell_ends
+    U = int(ends[-1])
+    snapped = []
+    for r in stage_rows:
+        if r >= U:
+            continue
+        snapped.append(int(ends[np.searchsorted(ends, r)]))
+    snapped.append(U)
+    # dedupe while preserving order
+    out = []
+    for r in snapped:
+        if not out or r > out[-1]:
+            out.append(r)
+    return out
+
+
+def calculate_ci_staged(
+    defect: jnp.ndarray,
+    geom: CIGeometry,
+    max_defect_voxels: int = 8192,
+    stage_rows: Tuple[int, ...] = (640, 4096, 16384),
+    stage_k: Tuple[int, ...] = (2048, 512, 256),
+    chunk_elems: int = 1 << 22,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stage-laddered exact CI: identical semantics to calculate_ci, ~20-50x
+    less gather work.
+
+    Sphere-growing cost concentrates in the tail: almost every defect voxel's
+    first crossing happens within a small radius (the first few hundred LUT
+    rows), but the flat scan pays all U~78k rows for every voxel.  The ladder
+    processes the radius axis in stages (stage boundaries snapped to
+    complete-ball row counts so first-crossing order is preserved exactly):
+    stage 0 scans rows [0, r0) for all K voxels; voxels still unresolved are
+    compacted (stable argsort, unresolved first) and only they continue into
+    the next stage's rows, with their running ball-hit count carried over.
+
+    stage_k[i] bounds how many voxels may continue into stage i+1.  If more
+    remain unresolved, the excess voxels are reported saturated and counted
+    in the returned stage_overflow (correctness is flagged, never silently
+    wrong; bump stage_k to re-run exactly).
+
+    Returns (ci_map, n_saturated, defect_overflow, stage_overflow).
+    """
+    H, W, D = geom.shape
+    K = max_defect_voxels
+    d01 = defect != 0
+
+    if geom.border_mode == "wrap":
+        flat = _fortran_flat(d01).astype(jnp.float32)
+    else:
+        flat = _padded_fortran_flat(d01, geom).astype(jnp.float32)
+
+    flat_c = d01.reshape(-1)
+    n_def = jnp.sum(flat_c)
+    (cidx,) = jnp.nonzero(flat_c, size=K, fill_value=0)
+    valid = jnp.arange(K) < n_def
+    ii = cidx // (W * D)
+    jj = (cidx // D) % W
+    kk = cidx % D
+    if geom.border_mode == "wrap":
+        base = ii + jj * H + kk * H * W
+    else:
+        pr, pc, ps = geom.pads
+        Hp, Wp = H + 2 * pr, W + 2 * pc
+        base = (ii + pr) + (jj + pc) * Hp + (kk + ps) * Hp * Wp
+    base = base.astype(jnp.int32)
+
+    ends_np = geom.shell_ends
+    M = int(ends_np.shape[0])
+    L = geom.flat_len
+    radii = jnp.asarray(geom.radii)
+    rows_snapped = _snap_stage_rows(geom, stage_rows)
+    n_stages = len(rows_snapped)
+    stage_ks = [K] + [min(int(k), K) for k in stage_k][: n_stages - 1]
+    while len(stage_ks) < n_stages:
+        stage_ks.append(stage_ks[-1])
+
+    # Global per-lane state.
+    resolved = ~valid
+    cv_ball = jnp.full(K, M - 1, jnp.int32)   # default: saturated at last ball
+    hits = jnp.zeros(K, jnp.float32)
+    stage_overflow = jnp.zeros((), jnp.int32)
+
+    a = 0
+    for s in range(n_stages):
+        b = rows_snapped[s]
+        Ks = stage_ks[s]
+        # Ball ends strictly inside (a, b]; drop the global last ball, which
+        # the reference never tests (CI.py:92-99).
+        in_stage = np.nonzero((ends_np > a) & (ends_np <= b))[0]
+        in_stage = in_stage[in_stage < M - 1]
+        ends_rel = jnp.asarray(ends_np[in_stage] - a - 1, jnp.int32)
+        balls = jnp.asarray(in_stage, jnp.int32)
+        denom = jnp.asarray(ends_np[in_stage], jnp.float32)
+        delta_s = jnp.asarray(geom.delta[a:b])
+        w_s = jnp.asarray(geom.first_occ[a:b], jnp.float32)
+        rows_s = b - a
+
+        if s == 0:
+            sel = jnp.arange(K)
+        else:
+            # Stable sort: unresolved lanes first, in original order.
+            sel = jnp.argsort(resolved, stable=True)[:Ks]
+            n_unres = jnp.sum(~resolved)
+            stage_overflow = stage_overflow + jnp.maximum(
+                n_unres.astype(jnp.int32) - Ks, 0
+            )
+        bases_s = base[sel]
+        carry_s = hits[sel]
+        live_s = ~resolved[sel]
+
+        def stage_chunk(args, delta_s=delta_s, w_s=w_s, ends_rel=ends_rel,
+                        denom=denom, balls=balls):
+            bs, carry, live = args
+            tgt = bs[:, None] + delta_s[None, :]
+            ok = (tgt >= 0) & (tgt < L)
+            vals = jnp.take(flat, jnp.clip(tgt, 0, L - 1), axis=0)
+            vals = vals * ok.astype(jnp.float32) * w_s[None, :]
+            cum = carry[:, None] + jnp.cumsum(vals, axis=1)
+            if ends_rel.shape[0] > 0:
+                totals = cum[:, ends_rel]
+                failing = (totals / denom[None, :]) < 0.5
+                any_f = jnp.any(failing, axis=1) & live
+                jrel = jnp.argmax(failing, axis=1)
+                ball_g = balls[jrel]
+            else:
+                any_f = jnp.zeros(bs.shape, bool)
+                ball_g = jnp.zeros(bs.shape, jnp.int32)
+            return any_f, ball_g, cum[:, -1]
+
+        ck = max(1, min(Ks, chunk_elems // max(rows_s, 1)))
+        n_chunks = -(-Ks // ck)
+        kpad = n_chunks * ck
+        pad = lambda x, fill: jnp.full((kpad,), fill, x.dtype).at[:Ks].set(x)
+        any_f, ball_g, new_hits = jax.lax.map(
+            stage_chunk,
+            (
+                pad(bases_s, 0).reshape(n_chunks, ck),
+                pad(carry_s, 0.0).reshape(n_chunks, ck),
+                pad(live_s, False).reshape(n_chunks, ck),
+            ),
+        )
+        any_f = any_f.reshape(-1)[:Ks]
+        ball_g = ball_g.reshape(-1)[:Ks]
+        new_hits = new_hits.reshape(-1)[:Ks]
+
+        # Scatter stage results back into global lanes.
+        found = any_f & live_s
+        cv_ball = cv_ball.at[sel].set(
+            jnp.where(found, ball_g, cv_ball[sel])
+        )
+        hits = hits.at[sel].set(jnp.where(live_s, new_hits, hits[sel]))
+        resolved = resolved.at[sel].set(resolved[sel] | found)
+        a = b
+
+    # Unresolved lanes (true Rmax saturation or stage overflow) keep the
+    # saturated default; stage_overflow is additionally reported so callers
+    # can distinguish "genuinely never crossed" from "needs bigger stage_k".
+    saturated = ~resolved & valid
+    cv = radii[cv_ball] * geom.min_vox
+
+    ci_flat = jnp.zeros(H * W * D, jnp.float32)
+    scatter_idx = jnp.where(valid, cidx, H * W * D)
+    ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
+    return (
+        ci_flat.reshape(H, W, D),
+        jnp.sum(saturated),
+        n_def > K,
+        stage_overflow,
+    )

@@ -1,0 +1,241 @@
+"""Pairwise-distance CI engine — the TPU-native fast path (zero gathers).
+
+Reformulation.  The defect mask is sparse (n_def voxels), so ball hit counts
+are pairwise statements between defect voxels:
+
+    hits_ball_j(v) = #{ defect w : offset (w - v) lies in ball_j }
+
+and the reference's first-crossing rule "first ball whose defect fraction
+drops below 0.5" (CI.py:94-105) becomes an order-statistics test:
+
+    fail_j  <=>  cumcount_j < T_j,  T_j = (rows_j + 1) // 2 (static)
+            <=>  (T_j-th smallest pair distance^2) > r_j^2
+
+so per defect voxel the whole radius scan collapses to: one row of pairwise
+squared distances, one sort, and a compare against a STATIC threshold vector
+thr[t] = r^2 at the first ball whose T_j-1 == t.  No gathers, no LUT on
+device — just broadcasted integer arithmetic, a [K,K] sort, and VPU compares.
+
+Exactness (guarded at geometry-build time, tests in tests/test_ci.py):
+- ball membership == (d^2 <= r_j^2) with shell = searchsorted(r^2, d^2):
+  verified against the golden LUTs (the 4 float-boundary duplicate rows per
+  LUT are second occurrences; min-shell semantics reproduces intersect1d
+  uniqueness, and denominators keep the duplicate-inclusive row counts);
+- float32 device arithmetic assigns every possible box offset to the same
+  shell as the float64 oracle (checked exhaustively per geometry; build
+  raises if a geometry ever violates it).
+
+Border modes:
+- "pad": natural offset only (geometrically correct zero padding).
+- "wrap": the reference's linear-index aliasing.  delta(o) = o_i + o_j*H +
+  o_k*H*W collides for exactly the offsets o = (di+p, dj+q, dk+s) with
+  p + q*H + s*H*W = 0; with |o_i| <= 50 < H this has the nine closed-form
+  solutions enumerated below, so aliased membership = min shell over nine
+  candidate offsets — still pure vector math.
+
+Auto-fail: balls needing T_j > n_def hits always fail; pairs beyond n_def
+sort to +inf and trigger the same comparison, so padding is semantically
+free.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ventjax.ops.ci import CIGeometry, build_ci_geometry
+from ventjax.oracle.ci_oracle import shell_structure, sphere_pixels
+
+
+@dataclasses.dataclass(frozen=True)
+class CIPairwiseGeometry:
+    vox: Tuple[float, float, float]
+    rmax: int
+    shape: Tuple[int, int, int]
+    border_mode: str
+    scale: Tuple[float, float, float]   # vox / min(vox), float32-exact
+    radii32: np.ndarray                 # [M] float32 ball radii
+    r2_32: np.ndarray                   # [M] float32 squared radii
+    rows_ball: np.ndarray               # [M] int64 duplicate-inclusive rows
+    r2_last: float                      # float32 largest shell r^2
+    min_vox: float
+    n_balls: int
+
+
+@functools.lru_cache(maxsize=16)
+def build_ci_pairwise_geometry(
+    vox: Tuple[float, float, float],
+    shape: Tuple[int, int, int],
+    rmax: int = 50,
+    border_mode: str = "wrap",
+) -> CIPairwiseGeometry:
+    vox = tuple(float(v) for v in vox)
+    px = sphere_pixels(vox, rmax)
+    radii, sizes, _ = shell_structure(px)
+    rows_ball = np.cumsum(sizes).astype(np.int64)
+    scale64 = np.asarray(vox) / np.min(vox)
+    scale32 = scale64.astype(np.float32)
+    r2_64 = radii ** 2
+    r2_32 = r2_64.astype(np.float32)
+
+    # --- Exactness guards (host, one-time per geometry) -------------------
+    # (a) LUT row shells equal searchsorted(r^2, d^2) except second
+    #     occurrences of float-boundary duplicate offsets.
+    shell_of_row = np.repeat(np.arange(len(radii)), sizes)
+    d2row = ((px[:, 1] * scale64[0]) ** 2 + (px[:, 2] * scale64[1]) ** 2
+             + (px[:, 3] * scale64[2]) ** 2)
+    pred = np.searchsorted(r2_64, d2row, side="left")
+    off = px[:, 1:].astype(np.int64)
+    key = ((off[:, 0] + rmax) * (2 * rmax + 1) + (off[:, 1] + rmax)) \
+        * (2 * rmax + 1) + (off[:, 2] + rmax)
+    _, first_idx = np.unique(key, return_index=True)
+    is_first = np.zeros(len(key), bool)
+    is_first[first_idx] = True
+    if not np.array_equal(pred[is_first], shell_of_row[is_first]):
+        raise ValueError(
+            "CI pairwise engine: ball membership != d^2<=r^2 for this "
+            "geometry; use the gather-ladder engine instead."
+        )
+    # (b) float32 device arithmetic is bin-exact over every box offset.
+    rng = np.arange(-rmax, rmax + 1)
+    X, Y, Z = np.meshgrid(rng, rng, rng, indexing="ij")
+    d2_64 = ((X * scale64[0]) ** 2 + (Y * scale64[1]) ** 2
+             + (Z * scale64[2]) ** 2).ravel()
+    dx = X.astype(np.float32) * scale32[0]
+    dy = Y.astype(np.float32) * scale32[1]
+    dz = Z.astype(np.float32) * scale32[2]
+    d2f = (dx * dx + dy * dy + dz * dz).ravel().astype(np.float64)
+    if not np.array_equal(
+        np.searchsorted(r2_64, d2_64, side="left"),
+        np.searchsorted(r2_32.astype(np.float64), d2f, side="left"),
+    ):
+        raise ValueError(
+            "CI pairwise engine: float32 distance binning is not exact for "
+            "this geometry; use the gather-ladder engine instead."
+        )
+
+    return CIPairwiseGeometry(
+        vox=vox,
+        rmax=int(rmax),
+        shape=tuple(int(s) for s in shape),
+        border_mode=border_mode,
+        scale=tuple(float(s) for s in scale32),
+        radii32=radii.astype(np.float32),
+        r2_32=r2_32,
+        rows_ball=rows_ball,
+        r2_last=float(r2_32[-1]),
+        min_vox=float(np.min(np.asarray(vox))),
+        n_balls=int(len(radii)),
+    )
+
+
+def _alias_combos(geom: CIPairwiseGeometry):
+    """(p, q, s) with p + q*H + s*H*W = 0 and |p| <= H (CI.py:65-68 map)."""
+    H, W, _ = geom.shape
+    if geom.border_mode == "pad":
+        return [(0, 0, 0)]
+    return [
+        (0, 0, 0),
+        (0, W, -1), (0, -W, 1),
+        (H, -1, 0), (H, W - 1, -1), (H, -W - 1, 1),
+        (-H, 1, 0), (-H, 1 - W, 1), (-H, 1 + W, -1),
+    ]
+
+
+def _threshold_tables(geom: CIPairwiseGeometry, K: int):
+    """Static (thr[t], j_lo[t], j_cap) for the order-statistics test."""
+    M = geom.n_balls
+    T = (geom.rows_ball + 1) // 2          # fail_j <=> cumcount_j < T_j
+    tested = np.arange(M - 1)              # last ball never tested
+    t_idx = T[tested] - 1                  # sorted position probed by ball j
+    thr = np.full(K, np.inf, np.float32)
+    j_lo = np.full(K, M - 1, np.int32)
+    # first (smallest) ball for each probed position
+    for j in tested[::-1]:
+        t = t_idx[j]
+        if t < K:
+            thr[t] = geom.r2_32[j]
+            j_lo[t] = j
+    over = tested[T[tested] > K]
+    j_cap = int(over[0]) if len(over) else M - 1
+    return jnp.asarray(thr), jnp.asarray(j_lo), j_cap
+
+
+def calculate_ci_pairwise(
+    defect: jnp.ndarray,
+    geom: CIPairwiseGeometry,
+    max_defect_voxels: int = 8192,
+    row_chunk: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """CI map via the pairwise engine; returns (ci_map, n_saturated, overflow)."""
+    H, W, D = geom.shape
+    K = max_defect_voxels
+    M = geom.n_balls
+    d01 = defect != 0
+    s0, s1, s2 = geom.scale
+
+    flat_c = d01.reshape(-1)
+    n_def = jnp.sum(flat_c)
+    (cidx,) = jnp.nonzero(flat_c, size=K, fill_value=0)
+    valid = jnp.arange(K) < n_def
+    SENT = jnp.int32(1 << 20)  # far-away sentinel: fails box checks
+    ii = jnp.where(valid, (cidx // (W * D)).astype(jnp.int32), SENT)
+    jj = jnp.where(valid, ((cidx // D) % W).astype(jnp.int32), -SENT)
+    kk = jnp.where(valid, (cidx % D).astype(jnp.int32), SENT)
+
+    thr, j_lo, j_cap = _threshold_tables(geom, K)
+    combos = _alias_combos(geom)
+    radii32 = jnp.asarray(geom.radii32)
+    rmax = geom.rmax
+    r2_last = geom.r2_last
+
+    def row_block(vc):
+        vi, vj, vk = vc
+        inf = jnp.float32(jnp.inf)
+        dmin2 = jnp.full((vi.shape[0], K), inf)
+        for (p, q, s) in combos:
+            oi = (ii[None, :] - vi[:, None]) + p
+            oj = (jj[None, :] - vj[:, None]) + q
+            ok_ = (kk[None, :] - vk[:, None]) + s
+            inbox = (
+                (jnp.abs(oi) <= rmax)
+                & (jnp.abs(oj) <= rmax)
+                & (jnp.abs(ok_) <= rmax)
+            )
+            fx = oi.astype(jnp.float32) * s0
+            fy = oj.astype(jnp.float32) * s1
+            fz = ok_.astype(jnp.float32) * s2
+            d2 = fx * fx + fy * fy + fz * fz
+            hit = inbox & (d2 <= r2_last)
+            dmin2 = jnp.minimum(dmin2, jnp.where(hit, d2, inf))
+        srt = jnp.sort(dmin2, axis=1)
+        failing = srt > thr[None, :]
+        any_f = jnp.any(failing, axis=1)
+        tstar = jnp.argmax(failing, axis=1)
+        j = jnp.where(any_f, j_lo[tstar], M - 1)
+        j = jnp.minimum(j, j_cap)
+        return j
+
+    n_chunks = -(-K // row_chunk)
+    kpad = n_chunks * row_chunk
+    pad = lambda x: jnp.full((kpad,), 0, x.dtype).at[:K].set(x)
+    jballs = jax.lax.map(
+        row_block,
+        (
+            pad(ii).reshape(n_chunks, row_chunk),
+            pad(jj).reshape(n_chunks, row_chunk),
+            pad(kk).reshape(n_chunks, row_chunk),
+        ),
+    ).reshape(-1)[:K]
+
+    saturated = (jballs >= M - 1) & valid
+    cv = radii32[jballs] * geom.min_vox
+
+    ci_flat = jnp.zeros(H * W * D, jnp.float32)
+    scatter_idx = jnp.where(valid, cidx, H * W * D)
+    ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
+    return ci_flat.reshape(H, W, D), jnp.sum(saturated), n_def > K

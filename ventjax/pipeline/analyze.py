@@ -1,0 +1,160 @@
+"""The fused study pipeline: one jitted program per (shape, vox, config).
+
+analyze_study fuses the reference's calculate_VDP + calculate_CI call stacks
+(Vent_Analysis.py:239-271) into a single XLA program: SNR -> N4 ->
+mean-anchored VDP -> linear-binning VDP -> k-means VDP -> CI map -> metrics.
+analyze_cohort vmaps it over a [N,H,W,D] batch; ventjax.dist shards that
+batch axis over a device mesh.
+
+Per-subject error isolation (SURVEY.md §5): a subject with an empty mask
+produces NaN metrics and valid=False instead of poisoning the batch.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ventjax.config import DEFAULT_CONFIG, VentConfig
+from ventjax.ops import (
+    calculate_ci,
+    calculate_snr,
+    gradient_border,
+    masked_sorted_index,
+    n4_bias_correction,
+    vdp_kmeans,
+    vdp_linear_binning,
+    vdp_mean_anchored,
+)
+from ventjax.ops.ci import CIGeometry, build_ci_geometry
+from ventjax.ops.ci_pairwise import (
+    CIPairwiseGeometry,
+    build_ci_pairwise_geometry,
+    calculate_ci_pairwise,
+)
+from ventjax.pipeline.result import StudyMetrics, VentResult
+
+
+def analyze_study(
+    hp: jnp.ndarray,
+    mask: jnp.ndarray,
+    geom: CIGeometry,
+    config: VentConfig = DEFAULT_CONFIG,
+) -> VentResult:
+    """Full analysis of one [H,W,D] study.  Pure; jit/vmap freely."""
+    c = config
+    hp = hp.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    n_mask = jnp.sum(mask > 0)
+    valid = n_mask > 0
+    # Guard: an all-empty mask must not produce infs that slow CPU paths or
+    # NaN-poison reductions inside ops; substitute a trivial mask and
+    # invalidate the metrics afterwards.
+    safe_mask = jnp.where(valid, mask, jnp.ones_like(mask))
+
+    snr = calculate_snr(hp, safe_mask, c.snr_fov_buffer)
+    n4 = n4_bias_correction(
+        hp,
+        safe_mask,
+        fitting_levels=c.n4_fitting_levels,
+        max_iters=c.n4_max_iters,
+        convergence_threshold=c.n4_convergence_threshold,
+        bins=c.n4_histogram_bins,
+        fwhm=c.n4_bias_fwhm,
+        wiener_noise=c.n4_wiener_noise,
+        control_points=c.n4_control_points,
+    )
+    defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
+    defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
+    defect_lb, vdp_lb = vdp_linear_binning(
+        n4, safe_mask, c.lb_edges, c.lb_percentile
+    )
+    defect_km, vdp_km = vdp_kmeans(
+        n4, safe_mask, c.kmeans_clusters, c.kmeans_iters, c.kmeans_defect_clusters
+    )
+    if isinstance(geom, CIPairwiseGeometry):
+        ci_map, n_saturated, ci_overflow = calculate_ci_pairwise(
+            defect, geom, c.ci_max_defect_voxels
+        )
+    else:
+        ci_map, n_saturated, ci_overflow = calculate_ci(
+            defect, geom, c.ci_max_defect_voxels
+        )
+
+    # Subject CI: sorted CI over defect voxels at floor-index percentile
+    # (Vent_Analysis.py:268-270).  NaN when there are no defect voxels
+    # (the reference would raise an IndexError there).
+    has_defect = jnp.sum(defect) > 0
+    ci_val = jnp.where(
+        has_defect,
+        masked_sorted_index(ci_map, defect, c.ci_percentile),
+        jnp.nan,
+    )
+
+    vox_cc = float(np.prod(geom.vox) / 1000.0)  # mm^3 -> cc (static)
+    lung_volume = jnp.sum(mask == 1) * vox_cc / 1000.0        # liters
+    defect_volume = jnp.sum(defect == 1) * vox_cc / 1000.0
+
+    nanify = lambda x: jnp.where(valid, x, jnp.nan)
+    metrics = StudyMetrics(
+        snr=nanify(snr),
+        vdp=nanify(vdp),
+        vdp_lb=nanify(vdp_lb),
+        vdp_km=nanify(vdp_km),
+        lung_volume=lung_volume,
+        defect_volume=nanify(defect_volume),
+        ci=nanify(ci_val),
+        ci_saturated=n_saturated,
+        ci_overflow=ci_overflow,
+        valid=valid,
+    )
+    return VentResult(
+        n4=n4,
+        defect=defect,
+        defect_lb=defect_lb,
+        defect_km=defect_km,
+        defect_border=defect_border,
+        ci_map=ci_map,
+        metrics=metrics,
+    )
+
+
+def analyze_cohort(
+    hp: jnp.ndarray,
+    mask: jnp.ndarray,
+    geom: CIGeometry,
+    config: VentConfig = DEFAULT_CONFIG,
+) -> VentResult:
+    """vmap of analyze_study over a [N,H,W,D] cohort."""
+    return jax.vmap(lambda h, m: analyze_study(h, m, geom, config))(hp, mask)
+
+
+def build_geometry(
+    vox: Tuple[float, float, float],
+    shape: Tuple[int, int, int],
+    config: VentConfig = DEFAULT_CONFIG,
+):
+    """CI geometry for the configured engine (host-cached per vox/shape)."""
+    if config.ci_engine == "pairwise":
+        return build_ci_pairwise_geometry(
+            tuple(vox), tuple(shape), config.ci_rmax, config.ci_border_mode
+        )
+    return build_ci_geometry(
+        tuple(vox), tuple(shape), config.ci_rmax, config.ci_border_mode
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def make_analyze_fn(
+    vox: Tuple[float, float, float],
+    shape: Tuple[int, int, int],
+    config: VentConfig = DEFAULT_CONFIG,
+    batched: bool = False,
+):
+    """Build and jit the pipeline for a fixed (vox, volume shape, config)."""
+    geom = build_geometry(vox, shape, config)
+    fn = analyze_cohort if batched else analyze_study
+    return jax.jit(lambda hp, mask: fn(hp, mask, geom, config))
