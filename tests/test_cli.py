@@ -1,0 +1,78 @@
+"""CLI + cohort driver end to end (the GUI-replacement surface)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ventjax.cli import main
+from ventjax.io.synthetic import write_study
+
+
+@pytest.fixture(scope="module")
+def study_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_study")
+    write_study(str(root), shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=6)
+    return str(root)
+
+
+def test_cli_analyze_mepo_grammar(study_root, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc = main([
+        "analyze", "--xenon", f"{study_root}/xenon.dcm",
+        "--mask", f"{study_root}/mask", "--out", out,
+        "--irb", "mepo", "--id", "0039", "--visit", "1",
+        "--treatment", "preAlb", "--user", "tester",
+    ])
+    assert rc == 0
+    base = "Mepo0039_240301_visit1_preAlb"
+    files = set(os.listdir(out))
+    assert {f"{base}.json", f"{base}.pkl", f"{base}.png",
+            f"{base}_dataArray.nii", "defectDICOMS"} <= files
+    summary = json.loads(capsys.readouterr().out)
+    assert 0 < summary["VDP"] < 50
+
+
+def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys):
+    manifest = [
+        {"id": "s0", "xenon": f"{study_root}/xenon.dcm",
+         "mask": f"{study_root}/mask"},
+        {"id": "s1", "xenon": f"{study_root}/xenon.dcm",
+         "mask": f"{study_root}/mask"},
+        {"id": "bad", "xenon": "/nonexistent.dcm", "mask": "/nope"},
+    ]
+    mpath = str(tmp_path / "m.json")
+    json.dump(manifest, open(mpath, "w"))
+    out = str(tmp_path / "cohort")
+    rc = main(["cohort", "--manifest", mpath, "--out", out, "--batch", "2"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert report["subjects"] == 3 and report["valid"] == 2
+    m0 = json.load(open(os.path.join(out, "s0", "metrics.json")))
+    m1 = json.load(open(os.path.join(out, "s1", "metrics.json")))
+    assert m0["VDP"] == m1["VDP"]  # identical inputs
+    assert os.path.exists(os.path.join(out, "cohort_metrics.csv"))
+    # resume: done markers short-circuit
+    rc = main(["cohort", "--manifest", mpath, "--out", out])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert report["valid"] == 2
+
+
+def test_cli_twix(tmp_path, rng, capsys):
+    from ventjax.io.twix import write_synthetic_twix
+    k = (rng.normal(size=(16, 12, 2))
+         + 1j * rng.normal(size=(16, 12, 2))).astype(np.complex64)
+    dat = str(tmp_path / "m.dat")
+    write_synthetic_twix(dat, k)
+    rc = main(["twix", "--dat", dat, "--out", str(tmp_path / "o")])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["kspace_shape"] == [16, 12, 2]
+    assert os.path.exists(info["out"])
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert "ventjax" in info and "devices" in info

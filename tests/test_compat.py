@@ -1,0 +1,129 @@
+"""Compat facade: the reference's public API end to end on disk studies."""
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ventjax.compat import Vent_Analysis, extract_attributes
+from ventjax.compat import ci_module
+from ventjax.io.synthetic import write_study
+from ventjax.oracle.ci_oracle import calculate_ci_oracle
+
+
+@pytest.fixture(scope="module")
+def study(tmp_path_factory):
+    root = tmp_path_factory.mktemp("compat_study")
+    ph = write_study(str(root), shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=6)
+    return str(root), ph
+
+
+@pytest.fixture(scope="module")
+def analyzed(study):
+    root, ph = study
+    v = Vent_Analysis(
+        xenon_path=os.path.join(root, "xenon.dcm"),
+        mask_path=os.path.join(root, "mask"),
+        proton_path=os.path.join(root, "proton.dcm"),
+    )
+    v.calculate_VDP()
+    v.calculate_CI()
+    return v, ph
+
+
+def test_constructor_and_header(analyzed):
+    v, ph = analyzed
+    assert v.vox == [1.5, 1.5, 10.0]
+    assert v.HPvent.shape == ph.hp.shape
+    assert np.array_equal(v.mask, ph.mask)
+    assert str(v.metadata["PatientName"]) == "VENTJAX^PHANTOM"
+    want_lv = np.sum(ph.mask == 1) * np.prod(np.divide(v.vox, 10)) / 1000
+    assert v.metadata["LungVolume"] == pytest.approx(want_lv)
+
+
+def test_calculate_vdp_fills_state(analyzed):
+    v, ph = analyzed
+    for key in ("SNR", "VDP", "VDP_lb", "VDP_km", "DefectVolume"):
+        assert isinstance(v.metadata[key], float)
+    planted = 100 * ph.true_defect.sum() / ph.mask.sum()
+    assert v.metadata["VDP"] == pytest.approx(planted, abs=3.0)
+    assert v.N4HPvent.shape == ph.hp.shape
+    assert set(np.unique(v.defectArray)).issubset({0.0, 1.0})
+    assert v.defectArrayLB.max() <= 6
+
+
+def test_calculate_ci_matches_oracle(analyzed):
+    v, _ = analyzed
+    want = calculate_ci_oracle(v.defectArray, vox=v.vox, rmax=50, saturate=True)
+    assert np.abs(v.CIarray - want).max() < 2e-5
+    cvlist = np.sort(want[v.defectArray > 0])
+    assert float(v.metadata["CI"]) == pytest.approx(
+        cvlist[int(0.95 * len(cvlist))], abs=2e-5
+    )
+
+
+def test_ci_module_compat_surface():
+    defect = np.zeros((24, 20, 4))
+    defect[4:9, 5:10, 1:3] = 1
+    got = ci_module.calculate_CI(defect, vox=[1.5, 1.5, 10.0], Rmax=50)
+    want = calculate_ci_oracle(defect, vox=[1.5, 1.5, 10.0], rmax=50)
+    assert np.abs(got - want).max() < 2e-5
+    # helpers
+    assert ci_module.multi_which(defect).shape[1] == 3
+    px = ci_module.getSpherePix(np.asarray([1.5, 1.5, 10.0]), 50)
+    assert px.shape == (78659, 4)
+    assert ci_module.px2vec(2, 3, 4, (10, 10, 4)) == 2 + 2 * 10 + 3 * 100
+    assert ci_module.vec2px(ci_module.px2vec(2, 3, 4, (10, 10, 4)),
+                            (10, 10, 4)) == (2, 3, 4)
+
+
+def test_exports_and_pickle_roundtrip(analyzed, tmp_path):
+    v, _ = analyzed
+    out = str(tmp_path)
+    v.metadata["analysisUser"] = "tester"
+    nii = v.exportNifti(out, "t")
+    assert os.path.exists(nii)
+    jpath = v.dicom_to_json(v.ds, os.path.join(out, "h.json"))
+    assert "PatientName" in json.load(open(jpath))
+    v.screenShot(os.path.join(out, "s.png"))
+    assert os.path.exists(os.path.join(out, "s.png"))
+    dpath = v.exportDICOM(v.ds, out, optional_text="t", forPACS=True)
+    assert len(os.listdir(dpath)) == v.HPvent.shape[2]
+    ppath = v.pickleMe(os.path.join(out, "v.pkl"))
+    v2 = Vent_Analysis(pickle_path=ppath)
+    assert v2.metadata["VDP"] == v.metadata["VDP"]
+    assert np.array_equal(v2.defectArray, v.defectArray)
+    assert v2.version == v.version
+
+
+def test_snr_signature_quirk(analyzed):
+    """calculate_SNR(A, mask) binds mask to FOVbuffer, which is overwritten
+    to 20 — same result as calling with no second arg (reference line 343)."""
+    v, _ = analyzed
+    a = v.HPvent
+    assert v.calculate_SNR(a, v.mask) == v.calculate_SNR(a)
+
+
+def test_extract_attributes():
+    d = {"a": 1, "b": {"c": 2, "d": {"e": 3}}}
+    assert extract_attributes(d) == {"a": 1, "b_c": 2, "b_d_e": 3}
+
+
+def test_process_raw_twix(tmp_path, rng):
+    from ventjax.io.twix import write_synthetic_twix
+    k = (rng.normal(size=(16, 12, 2))
+         + 1j * rng.normal(size=(16, 12, 2))).astype(np.complex64)
+    p = str(tmp_path / "m.dat")
+    write_synthetic_twix(p, k, protocol_name="vent_gre")
+    v = Vent_Analysis(xenon_array=np.zeros((4, 4, 2)),
+                      mask_array=np.ones((4, 4, 2)))
+    v.vox = [1.0, 1.0, 1.0]
+    img = v.process_RAW(p)
+    assert img.shape == (12, 16, 2)
+    assert v.metadata["TWIXprotocolName"] == "vent_gre"
+    want = np.transpose(
+        np.fft.fftshift(np.fft.fft2(np.fft.fftshift(
+            k.astype(np.complex128), axes=(0, 1)), axes=(0, 1)), axes=(0, 1)),
+        (1, 0, 2))[:, ::-1, :]
+    assert np.abs(img - want).max() / np.abs(want).max() < 1e-5

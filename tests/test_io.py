@@ -1,0 +1,85 @@
+"""I/O codecs: DICOM read/write, NIfTI, TWIX, synthetic studies."""
+import os
+
+import numpy as np
+import pytest
+
+from ventjax.io import dicom as dcm
+from ventjax.io import nifti
+from ventjax.io.phantom import make_phantom
+from ventjax.io.synthetic import write_mask_folder, write_multiframe, write_study
+from ventjax.io.twix import read_twix, write_synthetic_twix
+
+
+@pytest.fixture(scope="module")
+def study(tmp_path_factory):
+    root = tmp_path_factory.mktemp("study")
+    ph = write_study(str(root), shape=(32, 32, 4), vox=(1.5, 1.5, 10.0), seed=3)
+    return str(root), ph
+
+
+def test_multiframe_roundtrip(study):
+    root, ph = study
+    ds, vol = dcm.open_single_dicom(os.path.join(root, "xenon.dcm"))
+    assert vol.shape == ph.hp.shape
+    assert np.array_equal(vol, np.clip(ph.hp, 0, 65535).astype(np.uint16))
+    # the voxel-size discovery path of pullDICOMHeader
+    pm = ds[(0x5200, 0x9230)][0]["PixelMeasuresSequence"][0]
+    assert list(pm.PixelSpacing) == [1.5, 1.5]
+    assert float(ds.SpacingBetweenSlices) == 10.0
+    assert str(ds.PatientName) == "VENTJAX^PHANTOM"
+
+
+def test_mask_folder_roundtrip(study):
+    root, ph = study
+    ds, mask = dcm.open_dicom_folder(os.path.join(root, "mask"))
+    assert np.array_equal(mask, ph.mask)
+    # reference returns the LAST slice's dataset
+    assert int(ds.InstanceNumber) == ph.mask.shape[2]
+
+
+def test_dicom_to_dict_skips_pixels(study):
+    root, _ = study
+    ds, _ = dcm.open_single_dicom(os.path.join(root, "xenon.dcm"))
+    d = dcm.dicom_to_dict(ds, include_private=True)
+    assert "PixelData" not in d
+    assert isinstance(d["PerFrameFunctionalGroupsSequence"], list)
+
+
+def test_rgb_dicom_roundtrip(tmp_path):
+    rgb = (np.random.default_rng(0).random((16, 16, 3)) * 255).astype(np.uint8)
+    ds = dcm.Dataset()
+    ds.SOPClassUID = dcm.MR_STORAGE
+    ds.SOPInstanceUID = dcm.generate_uid()
+    ds.Rows, ds.Columns = 16, 16
+    ds.SamplesPerPixel = 3
+    ds.PhotometricInterpretation = "RGB"
+    ds.BitsAllocated = ds.BitsStored = 8
+    ds.HighBit = 7
+    ds.PixelRepresentation = 0
+    ds.add((0x7FE0, 0x0010), "OB", rgb.tobytes())
+    p = str(tmp_path / "rgb.dcm")
+    ds.save_as(p)
+    back = dcm.read_file(p)
+    assert np.array_equal(back.pixel_array, rgb)
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    arr = rng.random((8, 8, 4, 6)).astype(np.float32)
+    p = str(tmp_path / "a.nii")
+    nifti.save(p, arr)
+    back, affine = nifti.load(p)
+    assert np.array_equal(back, arr)
+    assert np.array_equal(affine, np.eye(4))
+
+
+def test_twix_roundtrip_and_fields(tmp_path, rng):
+    k = (rng.normal(size=(16, 12, 2))
+         + 1j * rng.normal(size=(16, 12, 2))).astype(np.complex64)
+    p = str(tmp_path / "raw.dat")
+    write_synthetic_twix(p, k, protocol_name="vent_gre",
+                         scan_datetime="2024-03-01 10:15:00")
+    tw = read_twix(p)
+    assert tw.protocol_name == "vent_gre"
+    assert tw.scan_datetime == "2024-03-01 10:15:00"
+    assert np.allclose(tw.kspace(), k)

@@ -1,0 +1,179 @@
+"""Headless CLI — the reference GUI's buttons as commands.
+
+The reference wraps everything in a PySimpleGUI desktop app
+(Vent_Analysis.py:607-1013); on a TPU VM the equivalent surface is a CLI
+with the same actions (SURVEY.md §1 L5): load-from-paths, calculate VDP,
+calculate CI, export (NIfTI + header JSON + pickle + screenshot + defect
+DICOMs, with the GUI's IRB filename grammar), plus cohort-scale batch runs
+the GUI never had.
+
+Usage:
+  python -m ventjax analyze --xenon X.dcm --mask MASKDIR [--proton P.dcm]
+      --out OUT [--irb mepo --id 0039 --visit 1 --treatment preAlb]
+      [--user RPT] [--no-ci]
+  python -m ventjax cohort --manifest subjects.json --out OUT [--batch 16]
+  python -m ventjax twix --dat FILE.dat --out OUT
+  python -m ventjax info
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_analyze(args) -> int:
+    from ventjax.compat import Vent_Analysis
+    from ventjax.report.export import study_filename
+
+    v = Vent_Analysis(
+        xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton
+    )
+    v.calculate_VDP(thresh=args.thresh)
+    if not args.no_ci:
+        v.calculate_CI()
+    v.metadata["analysisUser"] = args.user
+    v.metadata["DE"] = args.de or ""
+    v.metadata["FEV1"] = args.fev1 or ""
+    v.metadata["FVC"] = args.fvc or ""
+    v.metadata["notes"] = args.notes or ""
+    if args.irb:
+        v.metadata["IRB"] = args.irb
+        v.metadata["treatment"] = args.treatment or "none"
+        v.metadata["visit"] = args.visit or ""
+        file_name = study_filename(
+            args.irb, v.metadata,
+            genxe_id=args.id, mepo_id=args.id, clinical_id=args.id,
+            visit=args.visit, treatment=args.treatment,
+        )
+    else:
+        file_name = args.filename or str(v.metadata["PatientName"]).replace("^", "_")
+    v.metadata["fileName"] = file_name
+
+    os.makedirs(args.out, exist_ok=True)
+    v.exportNifti(args.out, file_name)
+    v.dicom_to_json(v.ds, os.path.join(args.out, f"{file_name}.json"))
+    v.pickleMe(os.path.join(args.out, f"{file_name}.pkl"))
+    v.screenShot(os.path.join(args.out, f"{file_name}.png"))
+    v.exportDICOM(v.ds, args.out, optional_text=file_name, forPACS=True)
+    if args.archive:
+        os.makedirs(args.archive, exist_ok=True)
+        v.pickleMe(os.path.join(args.archive, f"{file_name}.pkl"))
+
+    summary = {k: v.metadata[k] for k in
+               ("SNR", "VDP", "VDP_lb", "VDP_km", "LungVolume",
+                "DefectVolume", "CI")}
+    print(json.dumps({k: _jsonable(x) for k, x in summary.items()}, indent=2))
+    return 0
+
+
+def _jsonable(x):
+    try:
+        return float(x)
+    except (TypeError, ValueError):
+        return str(x)
+
+
+def _cmd_cohort(args) -> int:
+    from ventjax.pipeline.cohort import load_manifest, run_cohort
+
+    manifest = load_manifest(args.manifest)
+    results = run_cohort(
+        manifest, args.out, batch_size=args.batch,
+        use_mesh=not args.no_mesh, resume=not args.fresh,
+    )
+    ok = sum(1 for r in results if r.get("valid"))
+    print(json.dumps({"subjects": len(results), "valid": ok,
+                      "out": args.out}))
+    # cohort-level CSV aggregation
+    import csv
+    keys = sorted({k for r in results for k in r})
+    with open(os.path.join(args.out, "cohort_metrics.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=keys)
+        w.writeheader()
+        w.writerows(results)
+    return 0
+
+
+def _cmd_twix(args) -> int:
+    import numpy as np
+    from ventjax.io.twix import read_twix
+    from ventjax.ops.fft_recon import recon_2d_multislice
+    import jax.numpy as jnp
+
+    tw = read_twix(args.dat)
+    img = np.asarray(recon_2d_multislice(jnp.asarray(tw.kspace())))
+    os.makedirs(args.out, exist_ok=True)
+    np.save(os.path.join(args.out, "raw_HPvent.npy"), img)
+    print(json.dumps({
+        "protocol": tw.protocol_name,
+        "scan_datetime": tw.scan_datetime,
+        "kspace_shape": list(tw.kspace().shape),
+        "out": os.path.join(args.out, "raw_HPvent.npy"),
+    }))
+    return 0
+
+
+def _cmd_info(args) -> int:
+    import jax
+    import ventjax
+
+    print(json.dumps({
+        "ventjax": ventjax.__version__,
+        "jax": jax.__version__,
+        "devices": [str(d) for d in jax.devices()],
+        "default_config": {
+            "vdp_thresh": 0.6, "ci_rmax": 50, "ci_engine": "pairwise",
+        },
+    }, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="ventjax")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="analyze one study and export reports")
+    a.add_argument("--xenon", required=True)
+    a.add_argument("--mask", required=True)
+    a.add_argument("--proton", default=None)
+    a.add_argument("--out", required=True)
+    a.add_argument("--thresh", type=float, default=0.6)
+    a.add_argument("--no-ci", action="store_true")
+    a.add_argument("--user", default="")
+    a.add_argument("--irb", choices=["genxe", "mepo", "clinical"], default=None)
+    a.add_argument("--id", default="0000")
+    a.add_argument("--visit", default=None)
+    a.add_argument("--treatment", default=None)
+    a.add_argument("--de", default=None)
+    a.add_argument("--fev1", default=None)
+    a.add_argument("--fvc", default=None)
+    a.add_argument("--notes", default=None)
+    a.add_argument("--filename", default=None)
+    a.add_argument("--archive", default=None,
+                   help="optional second pickle copy (the GUI's archive box)")
+    a.set_defaults(fn=_cmd_analyze)
+
+    c = sub.add_parser("cohort", help="batched cohort run from a manifest")
+    c.add_argument("--manifest", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--batch", type=int, default=None)
+    c.add_argument("--no-mesh", action="store_true")
+    c.add_argument("--fresh", action="store_true", help="ignore done-markers")
+    c.set_defaults(fn=_cmd_cohort)
+
+    t = sub.add_parser("twix", help="reconstruct a Siemens twix .dat")
+    t.add_argument("--dat", required=True)
+    t.add_argument("--out", required=True)
+    t.set_defaults(fn=_cmd_twix)
+
+    i = sub.add_parser("info", help="version / device info")
+    i.set_defaults(fn=_cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,7 +14,7 @@ from typing import Callable, Optional, Sequence
 
 import jax
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
@@ -49,7 +49,7 @@ def shard_cohort_fn(
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
 
 

@@ -1,0 +1,525 @@
+"""Self-contained DICOM codec (reader + writer), host-side.
+
+pydicom is not available in this environment, so this module implements the
+subset of DICOM needed for full parity with the reference's I/O paths:
+
+- read single multi-frame DICOMs and folders of per-slice DICOMs
+  (Vent_Analysis.py:169-196: openSingleDICOM / openDICOMfolder),
+- header pulls incl. the per-frame functional-groups voxel-size discovery
+  (Vent_Analysis.py:198-223: ds[0x5200,0x9230][k].PixelMeasuresSequence[0]
+  .PixelSpacing and ds.SpacingBetweenSlices),
+- RGB defect-overlay export with fresh UIDs per slice
+  (Vent_Analysis.py:381-428: exportDICOM),
+- full-header JSON dumps (Vent_Analysis.py:360-379: dicom_to_dict/json).
+
+Supported transfer syntaxes: Explicit VR Little Endian and Implicit VR
+Little Endian, uncompressed pixel data.  The API deliberately mirrors the
+pydicom surface the reference uses (Dataset attribute access by keyword,
+``pixel_array``, ``save_as``, ``generate_uid``) so the compat facade keeps
+working user code unchanged.
+"""
+from __future__ import annotations
+
+import os
+import secrets
+import struct
+import time
+from typing import Any, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Tag dictionary (keyword <-> tag <-> VR) for the attributes the pipeline
+# touches; unknown tags still round-trip by number.
+# ---------------------------------------------------------------------------
+
+_DICT: Dict[Tuple[int, int], Tuple[str, str]] = {
+    (0x0002, 0x0001): ("OB", "FileMetaInformationVersion"),
+    (0x0002, 0x0002): ("UI", "MediaStorageSOPClassUID"),
+    (0x0002, 0x0003): ("UI", "MediaStorageSOPInstanceUID"),
+    (0x0002, 0x0010): ("UI", "TransferSyntaxUID"),
+    (0x0002, 0x0012): ("UI", "ImplementationClassUID"),
+    (0x0008, 0x0016): ("UI", "SOPClassUID"),
+    (0x0008, 0x0018): ("UI", "SOPInstanceUID"),
+    (0x0008, 0x0020): ("DA", "StudyDate"),
+    (0x0008, 0x0030): ("TM", "StudyTime"),
+    (0x0008, 0x0031): ("TM", "SeriesTime"),
+    (0x0008, 0x0060): ("CS", "Modality"),
+    (0x0008, 0x103E): ("LO", "SeriesDescription"),
+    (0x0010, 0x0010): ("PN", "PatientName"),
+    (0x0010, 0x0020): ("LO", "PatientID"),
+    (0x0010, 0x0030): ("DA", "PatientBirthDate"),
+    (0x0010, 0x0040): ("CS", "PatientSex"),
+    (0x0010, 0x1010): ("AS", "PatientAge"),
+    (0x0010, 0x1020): ("DS", "PatientSize"),
+    (0x0010, 0x1030): ("DS", "PatientWeight"),
+    (0x0018, 0x0050): ("DS", "SliceThickness"),
+    (0x0018, 0x0088): ("DS", "SpacingBetweenSlices"),
+    (0x0020, 0x000D): ("UI", "StudyInstanceUID"),
+    (0x0020, 0x000E): ("UI", "SeriesInstanceUID"),
+    (0x0020, 0x0011): ("IS", "SeriesNumber"),
+    (0x0020, 0x0013): ("IS", "InstanceNumber"),
+    (0x0020, 0x1041): ("DS", "SliceLocation"),
+    (0x0028, 0x0002): ("US", "SamplesPerPixel"),
+    (0x0028, 0x0004): ("CS", "PhotometricInterpretation"),
+    (0x0028, 0x0006): ("US", "PlanarConfiguration"),
+    (0x0028, 0x0008): ("IS", "NumberOfFrames"),
+    (0x0028, 0x0010): ("US", "Rows"),
+    (0x0028, 0x0011): ("US", "Columns"),
+    (0x0028, 0x0030): ("DS", "PixelSpacing"),
+    (0x0028, 0x0100): ("US", "BitsAllocated"),
+    (0x0028, 0x0101): ("US", "BitsStored"),
+    (0x0028, 0x0102): ("US", "HighBit"),
+    (0x0028, 0x0103): ("US", "PixelRepresentation"),
+    (0x5200, 0x9229): ("SQ", "SharedFunctionalGroupsSequence"),
+    (0x5200, 0x9230): ("SQ", "PerFrameFunctionalGroupsSequence"),
+    (0x0028, 0x9110): ("SQ", "PixelMeasuresSequence"),
+    (0x7FE0, 0x0010): ("OW", "PixelData"),
+}
+_KEYWORD_TO_TAG = {kw: tag for tag, (_, kw) in _DICT.items()}
+_TAG_VR = {tag: vr for tag, (vr, _) in _DICT.items()}
+
+EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
+ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
+_UID_ROOT = "1.2.826.0.1.3680043.10.1453"  # ventjax org root (ad-hoc)
+
+_STR_VRS = {"AE", "AS", "CS", "DA", "DS", "DT", "IS", "LO", "LT", "PN",
+            "SH", "ST", "TM", "UC", "UI", "UR", "UT"}
+_SHORT_LEN_VRS = _STR_VRS | {"AT", "FL", "FD", "SL", "SS", "UL", "US", "OB*"}
+
+
+def generate_uid() -> str:
+    """Unique UID under the ventjax root (pydicom.uid.generate_uid analog)."""
+    return f"{_UID_ROOT}.{int(time.time() * 1e3)}.{secrets.randbelow(10**10)}"
+
+
+class MultiValue(list):
+    """DICOM multi-value (e.g. PixelSpacing) — a list that prints like one."""
+
+
+class Element:
+    __slots__ = ("tag", "vr", "value")
+
+    def __init__(self, tag: Tuple[int, int], vr: str, value: Any):
+        self.tag = tag
+        self.vr = vr
+        self.value = value
+
+    @property
+    def keyword(self) -> str:
+        return _DICT.get(self.tag, (None, ""))[1]
+
+    @property
+    def name(self) -> str:
+        return self.keyword or f"({self.tag[0]:04X},{self.tag[1]:04X})"
+
+    @property
+    def is_private(self) -> bool:
+        return self.tag[0] % 2 == 1
+
+    def __repr__(self):
+        return f"<{self.tag[0]:04X},{self.tag[1]:04X} {self.vr} {self.name}>"
+
+
+class Dataset:
+    """Ordered tag->Element map with pydicom-style keyword attribute access."""
+
+    def __init__(self):
+        object.__setattr__(self, "_elems", {})
+
+    # -- element access ------------------------------------------------------
+    def add(self, tag: Tuple[int, int], vr: str, value: Any) -> None:
+        self._elems[tag] = Element(tag, vr, value)
+
+    def __contains__(self, key) -> bool:
+        try:
+            self._resolve(key)
+            return True
+        except KeyError:
+            return False
+
+    def _resolve(self, key) -> Tuple[int, int]:
+        if isinstance(key, str):
+            if key not in _KEYWORD_TO_TAG:
+                raise KeyError(key)
+            tag = _KEYWORD_TO_TAG[key]
+        elif isinstance(key, tuple):
+            tag = key
+        else:
+            raise KeyError(key)
+        if tag not in self._elems:
+            raise KeyError(key)
+        return tag
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple) and len(key) == 2 and all(
+            isinstance(k, int) for k in key
+        ):
+            elem = self._elems[key]
+        else:
+            elem = self._elems[self._resolve(key)]
+        if elem.vr == "SQ":
+            return elem.value  # list of Dataset, indexable like pydicom
+        return elem
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name in _KEYWORD_TO_TAG:
+            tag = _KEYWORD_TO_TAG[name]
+            if tag in self._elems:
+                return self._elems[tag].value
+        raise AttributeError(name)
+
+    def __setattr__(self, name, value):
+        if name in _KEYWORD_TO_TAG:
+            tag = _KEYWORD_TO_TAG[name]
+            self._elems[tag] = Element(tag, _TAG_VR[tag], value)
+        else:
+            object.__setattr__(self, name, value)
+
+    def __iter__(self) -> Iterator[Element]:
+        for tag in sorted(self._elems):
+            yield self._elems[tag]
+
+    def get(self, key, default=None):
+        try:
+            tag = self._resolve(key)
+            return self._elems[tag].value
+        except KeyError:
+            return default
+
+    # -- pixel data ------------------------------------------------------------
+    @property
+    def pixel_array(self) -> np.ndarray:
+        """Decode PixelData to [frames?, rows, cols(, samples)] like pydicom."""
+        raw = self.get("PixelData")
+        if raw is None:
+            raise AttributeError("no PixelData")
+        bits = int(self.get("BitsAllocated", 16))
+        signed = int(self.get("PixelRepresentation", 0)) == 1
+        samples = int(self.get("SamplesPerPixel", 1))
+        rows = int(self.Rows)
+        cols = int(self.Columns)
+        nframes = int(self.get("NumberOfFrames", 1) or 1)
+        dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
+        if signed:
+            dtype = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
+        count = rows * cols * samples * nframes
+        arr = arr[:count]
+        if samples > 1:
+            shape = (nframes, rows, cols, samples) if nframes > 1 else (rows, cols, samples)
+        else:
+            shape = (nframes, rows, cols) if nframes > 1 else (rows, cols)
+        return arr.reshape(shape)
+
+    # -- io ---------------------------------------------------------------------
+    def save_as(self, path: str) -> None:
+        write_file(path, self)
+
+    def copy(self) -> "Dataset":
+        new = Dataset()
+        for e in self:
+            if e.vr == "SQ":
+                new.add(e.tag, "SQ", [item.copy() for item in e.value])
+            else:
+                new.add(e.tag, e.vr, e.value)
+        return new
+
+
+# ---------------------------------------------------------------------------
+# Reader
+# ---------------------------------------------------------------------------
+
+class _Reader:
+    def __init__(self, buf: bytes, explicit: bool):
+        self.buf = buf
+        self.pos = 0
+        self.explicit = explicit
+
+    def u16(self):
+        v = struct.unpack_from("<H", self.buf, self.pos)[0]
+        self.pos += 2
+        return v
+
+    def u32(self):
+        v = struct.unpack_from("<I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def raw(self, n):
+        v = self.buf[self.pos:self.pos + n]
+        self.pos += n
+        return v
+
+    def eof(self):
+        return self.pos >= len(self.buf)
+
+    def read_element(self):
+        group = self.u16()
+        elem = self.u16()
+        tag = (group, elem)
+        if tag == (0xFFFE, 0xE000) or tag == (0xFFFE, 0xE00D) or tag == (0xFFFE, 0xE0DD):
+            length = self.u32()
+            return tag, "NONE", length
+        if self.explicit and group != 0xFFFE:
+            vr = self.raw(2).decode("ascii", "replace")
+            if vr in ("OB", "OW", "OF", "OD", "OL", "SQ", "UC", "UR", "UT", "UN"):
+                self.pos += 2  # reserved
+                length = self.u32()
+            else:
+                length = self.u16()
+        else:
+            vr = _TAG_VR.get(tag, "UN")
+            length = self.u32()
+        return tag, vr, length
+
+
+def _parse_value(vr: str, raw: bytes):
+    if vr in _STR_VRS:
+        s = raw.decode("latin-1").rstrip("\x00 ")
+        if vr in ("DS", "IS") and "\\" in s:
+            parts = s.split("\\")
+            return MultiValue(_num(p, vr) for p in parts)
+        if vr in ("DS", "IS"):
+            return _num(s, vr) if s else ""
+        if "\\" in s:
+            return MultiValue(s.split("\\"))
+        return s
+    if vr == "US":
+        vals = struct.unpack(f"<{len(raw)//2}H", raw)
+    elif vr == "SS":
+        vals = struct.unpack(f"<{len(raw)//2}h", raw)
+    elif vr == "UL":
+        vals = struct.unpack(f"<{len(raw)//4}I", raw)
+    elif vr == "SL":
+        vals = struct.unpack(f"<{len(raw)//4}i", raw)
+    elif vr == "FL":
+        vals = struct.unpack(f"<{len(raw)//4}f", raw)
+    elif vr == "FD":
+        vals = struct.unpack(f"<{len(raw)//8}d", raw)
+    else:
+        return raw
+    if len(vals) == 1:
+        return vals[0]
+    return MultiValue(vals)
+
+
+def _num(s: str, vr: str):
+    s = s.strip()
+    if not s:
+        return ""
+    return int(s) if vr == "IS" else float(s)
+
+
+def _read_dataset(r: _Reader, stop_at: Optional[int] = None) -> Dataset:
+    ds = Dataset()
+    end = stop_at if stop_at is not None else len(r.buf)
+    while r.pos < end and not r.eof():
+        tag, vr, length = r.read_element()
+        if tag == (0xFFFE, 0xE00D):  # item delimitation
+            break
+        if vr == "SQ":
+            items: List[Dataset] = []
+            if length == 0xFFFFFFFF:
+                while True:
+                    itag, _, ilen = r.read_element()
+                    if itag == (0xFFFE, 0xE0DD):
+                        break
+                    if itag != (0xFFFE, 0xE000):
+                        raise ValueError(f"bad sequence item tag {itag}")
+                    if ilen == 0xFFFFFFFF:
+                        items.append(_read_dataset(r))
+                    else:
+                        items.append(_read_dataset(r, r.pos + ilen))
+            else:
+                seq_end = r.pos + length
+                while r.pos < seq_end:
+                    itag, _, ilen = r.read_element()
+                    if itag != (0xFFFE, 0xE000):
+                        break
+                    if ilen == 0xFFFFFFFF:
+                        items.append(_read_dataset(r))
+                    else:
+                        items.append(_read_dataset(r, r.pos + ilen))
+            ds.add(tag, "SQ", items)
+            continue
+        if length == 0xFFFFFFFF:
+            raise ValueError(
+                f"undefined-length non-SQ element {tag} (encapsulated pixel "
+                "data / compressed transfer syntaxes are not supported)"
+            )
+        raw = r.raw(length)
+        if tag == (0x7FE0, 0x0010):
+            ds.add(tag, vr if vr != "UN" else "OW", bytes(raw))
+        else:
+            ds.add(tag, vr if vr != "NONE" else "UN", _parse_value(vr, raw))
+    return ds
+
+
+def read_file(path: str) -> Dataset:
+    """Read a DICOM Part-10 file (or bare implicit-VR stream)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) > 132 and buf[128:132] == b"DICM":
+        # file meta group is always explicit VR LE
+        r = _Reader(buf, explicit=True)
+        r.pos = 132
+        meta = Dataset()
+        while not r.eof():
+            save = r.pos
+            tag, vr, length = r.read_element()
+            if tag[0] != 0x0002:
+                r.pos = save
+                break
+            meta.add(tag, vr, _parse_value(vr, r.raw(length)))
+        ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
+        if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE):
+            raise ValueError(f"unsupported transfer syntax {ts}")
+        body = _Reader(buf, explicit=(ts == EXPLICIT_VR_LE))
+        body.pos = r.pos
+        ds = _read_dataset(body)
+        for e in meta:
+            ds.add(e.tag, e.vr, e.value)
+        return ds
+    # no preamble: try explicit, fall back to implicit
+    for explicit in (True, False):
+        try:
+            return _read_dataset(_Reader(buf, explicit=explicit))
+        except Exception:
+            continue
+    raise ValueError(f"could not parse DICOM file {path}")
+
+
+# alias matching the pydicom call sites
+dcmread = read_file
+
+
+# ---------------------------------------------------------------------------
+# Writer (Explicit VR Little Endian)
+# ---------------------------------------------------------------------------
+
+def _encode_value(vr: str, value: Any) -> bytes:
+    if vr in _STR_VRS:
+        if isinstance(value, (list, tuple, MultiValue)):
+            s = "\\".join(_fmt(v, vr) for v in value)
+        else:
+            s = _fmt(value, vr)
+        raw = s.encode("latin-1")
+        if len(raw) % 2:
+            raw += b"\x00" if vr == "UI" else b" "
+        return raw
+    tolist = lambda v: list(v) if isinstance(v, (list, tuple, MultiValue)) else [v]
+    if vr == "US":
+        return struct.pack(f"<{len(tolist(value))}H", *[int(v) for v in tolist(value)])
+    if vr == "SS":
+        return struct.pack(f"<{len(tolist(value))}h", *[int(v) for v in tolist(value)])
+    if vr == "UL":
+        return struct.pack(f"<{len(tolist(value))}I", *[int(v) for v in tolist(value)])
+    if vr == "SL":
+        return struct.pack(f"<{len(tolist(value))}i", *[int(v) for v in tolist(value)])
+    if vr == "FL":
+        return struct.pack(f"<{len(tolist(value))}f", *[float(v) for v in tolist(value)])
+    if vr == "FD":
+        return struct.pack(f"<{len(tolist(value))}d", *[float(v) for v in tolist(value)])
+    raw = bytes(value)
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw
+
+
+def _fmt(v, vr) -> str:
+    if vr == "DS" and isinstance(v, float):
+        s = f"{v:.10g}"
+        return s
+    return str(v)
+
+
+def _write_element(out: bytearray, tag, vr, raw: bytes) -> None:
+    out += struct.pack("<HH", tag[0], tag[1])
+    if vr in ("OB", "OW", "OF", "OD", "OL", "SQ", "UC", "UR", "UT", "UN"):
+        out += vr.encode("ascii") + b"\x00\x00" + struct.pack("<I", len(raw))
+    else:
+        out += vr.encode("ascii") + struct.pack("<H", len(raw))
+    out += raw
+
+
+def _encode_dataset(ds: Dataset, skip_meta: bool = True) -> bytes:
+    out = bytearray()
+    for e in ds:
+        if skip_meta and e.tag[0] == 0x0002:
+            continue
+        if e.vr == "SQ":
+            body = bytearray()
+            for item in e.value:
+                ibody = _encode_dataset(item, skip_meta=False)
+                body += struct.pack("<HHI", 0xFFFE, 0xE000, len(ibody))
+                body += ibody
+            _write_element(out, e.tag, "SQ", bytes(body))
+        else:
+            _write_element(out, e.tag, e.vr, _encode_value(e.vr, e.value))
+    return bytes(out)
+
+
+def write_file(path: str, ds: Dataset) -> None:
+    """Write a Part-10 Explicit VR LE file."""
+    meta = Dataset()
+    meta.add((0x0002, 0x0001), "OB", b"\x00\x01")
+    meta.MediaStorageSOPClassUID = ds.get("SOPClassUID", MR_STORAGE)
+    meta.MediaStorageSOPInstanceUID = ds.get("SOPInstanceUID", generate_uid())
+    meta.TransferSyntaxUID = EXPLICIT_VR_LE
+    meta.ImplementationClassUID = _UID_ROOT + ".1"
+    meta_bytes = _encode_dataset(meta, skip_meta=False)
+    body = _encode_dataset(ds, skip_meta=True)
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM")
+        f.write(meta_bytes)
+        f.write(body)
+
+
+# ---------------------------------------------------------------------------
+# High-level ingest mirroring the reference entry points
+# ---------------------------------------------------------------------------
+
+def open_single_dicom(path: str) -> Tuple[Dataset, np.ndarray]:
+    """Multi-frame DICOM -> (ds, [rows, cols, slices]) — transpose semantics
+    of Vent_Analysis.py:178-179 (pixel_array [frames,rows,cols] -> (1,2,0))."""
+    ds = read_file(path)
+    arr = ds.pixel_array
+    if arr.ndim == 2:
+        arr = arr[None]
+    return ds, np.transpose(arr, (1, 2, 0))
+
+
+def open_dicom_folder(folder: str) -> Tuple[Dataset, np.ndarray]:
+    """Sorted *.dcm files stacked into [rows, cols, n]; returns the LAST
+    slice's dataset like the reference (Vent_Analysis.py:184-196)."""
+    files = [f for f in sorted(os.listdir(folder)) if f.endswith(".dcm")]
+    if not files:
+        raise FileNotFoundError(f"no .dcm files in {folder}")
+    ds = read_file(os.path.join(folder, files[0]))
+    first = ds.pixel_array
+    mask = np.zeros((first.shape[0], first.shape[1], len(files)))
+    for k, fname in enumerate(files):
+        ds = read_file(os.path.join(folder, fname))
+        mask[:, :, k] = ds.pixel_array
+    return ds, mask
+
+
+def dicom_to_dict(ds: Dataset, include_private: bool = False) -> dict:
+    """Recursive header walk, skipping Pixel Data
+    (Vent_Analysis.py:360-372 semantics)."""
+    out: dict = {}
+    for e in ds:
+        if not include_private and e.is_private:
+            continue
+        if e.name in ("Pixel Data", "PixelData"):
+            continue
+        if e.vr == "SQ":
+            out[e.name] = [dicom_to_dict(item, include_private) for item in e.value]
+        else:
+            out[e.name] = str(e.value)
+    return out

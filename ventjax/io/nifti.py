@@ -1,0 +1,83 @@
+"""Minimal NIfTI-1 codec (nibabel is not available in this environment).
+
+Covers the reference's export need — a float32 4-D array with an identity
+affine (Vent_Analysis.py:273-290 exportNifti) — plus a reader for tests.
+Header layout per the NIfTI-1 standard (348-byte header, single-file .nii).
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+from typing import Tuple
+
+import numpy as np
+
+_DTYPES = {
+    2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32, 64: np.float64,
+    256: np.int8, 512: np.uint16, 768: np.uint32,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def save(path: str, data: np.ndarray, affine: np.ndarray | None = None,
+         vox: Tuple[float, ...] | None = None) -> None:
+    data = np.asarray(data)
+    if data.dtype not in _CODES:
+        data = data.astype(np.float32)
+    if affine is None:
+        affine = np.eye(4)
+    dims = list(data.shape)
+    ndim = len(dims)
+    dim = [ndim] + dims + [1] * (7 - ndim)
+    pixdim = [0.0] * 8
+    if vox is not None:
+        for i, v in enumerate(vox[:7]):
+            pixdim[i + 1] = float(v)
+    else:
+        pixdim[1:4] = [1.0, 1.0, 1.0]
+
+    hdr = bytearray(348)
+    struct.pack_into("<i", hdr, 0, 348)                      # sizeof_hdr
+    struct.pack_into("<8h", hdr, 40, *dim)                   # dim
+    struct.pack_into("<h", hdr, 70, _CODES[data.dtype])      # datatype
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8) # bitpix
+    struct.pack_into("<8f", hdr, 76, *pixdim)                # pixdim
+    struct.pack_into("<f", hdr, 108, 352.0)                  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)                    # scl_slope
+    struct.pack_into("<h", hdr, 252, 1)                      # sform_code
+    struct.pack_into("<h", hdr, 254, 1)
+    struct.pack_into("<4f", hdr, 280, *affine[0])            # srow_x
+    struct.pack_into("<4f", hdr, 296, *affine[1])
+    struct.pack_into("<4f", hdr, 312, *affine[2])
+    hdr[344:348] = b"n+1\x00"
+
+    payload = bytes(hdr) + b"\x00\x00\x00\x00" + np.asfortranarray(data).tobytes(order="F")
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)
+
+
+def load(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Returns (data, affine)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        buf = f.read()
+    if struct.unpack_from("<i", buf, 0)[0] != 348:
+        raise ValueError("not a little-endian NIfTI-1 file")
+    dim = struct.unpack_from("<8h", buf, 40)
+    ndim = dim[0]
+    shape = dim[1:1 + ndim]
+    code = struct.unpack_from("<h", buf, 70)[0]
+    vox_offset = int(struct.unpack_from("<f", buf, 108)[0])
+    dtype = np.dtype(_DTYPES[code]).newbyteorder("<")
+    n = int(np.prod(shape))
+    data = np.frombuffer(buf, dtype=dtype, count=n, offset=vox_offset)
+    data = data.reshape(shape, order="F")
+    affine = np.eye(4)
+    affine[0] = struct.unpack_from("<4f", buf, 280)
+    affine[1] = struct.unpack_from("<4f", buf, 296)
+    affine[2] = struct.unpack_from("<4f", buf, 312)
+    return data, affine

@@ -1,0 +1,191 @@
+"""Minimal Siemens TWIX (.dat) raw-data reader (VD/VE multi-raid layout).
+
+mapvbvd is not available in this environment; this module implements the
+subset the reference uses (Vent_Analysis.py:522-540 process_RAW): read the
+last measurement's image scans into a [columns, lines, slices] complex
+k-space array and pull PrepareTimestamp / tProtocolName from the protocol
+text.  Single-channel, uncompressed ADC data, no OS removal — the recon
+itself lives in ventjax.ops.fft_recon.
+
+The exact MDH field layout below is written/read from the same struct
+definitions, and `write_synthetic_twix` produces files in this layout for
+round-trip tests.  Real scanner files that follow the standard VD/VE layout
+parse too; VB-era files are not supported (clearly rejected).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_MDH_FMT = "<IiIII HH iiiI QHH 28s I HH fI HH 28s 48s 16s"
+# DMALength/flags, MeasUID, ScanCounter, TimeStamp, PMUTimeStamp,
+# SystemType, PTABPosDelay, PTABPosX/Y/Z, Reserved1, EvalInfoMask,
+# SamplesInScan, UsedChannels, LoopCounters(14xu16), CutOff(2xu16 packed),
+# CentreColumn, CoilSelect, ReadOutOffcentre, TimeSinceLastRF, CentreLine,
+# CentrePartition, SliceData(28), IceProgramPara(24xu16), ReservedPara
+_MDH_SIZE = struct.calcsize(_MDH_FMT)
+assert _MDH_SIZE == 192, _MDH_SIZE
+
+_CH_FMT = "<IiIIIIHHI"
+_CH_SIZE = struct.calcsize(_CH_FMT)
+assert _CH_SIZE == 32, _CH_SIZE
+
+ACQEND = 1 << 0
+
+
+@dataclasses.dataclass
+class TwixScan:
+    line: int
+    slice: int
+    channel: int
+    data: np.ndarray  # complex64 [samples]
+
+
+@dataclasses.dataclass
+class TwixMeasurement:
+    meas_id: int
+    protocol_name: str
+    scan_datetime: str
+    header_text: str
+    scans: List[TwixScan]
+
+    def kspace(self) -> np.ndarray:
+        """[columns, lines, slices] complex128 (squeezed single-channel),
+        matching the reference's raw_K usage (Vent_Analysis.py:536-539)."""
+        if not self.scans:
+            raise ValueError("measurement contains no image scans")
+        n_col = self.scans[0].data.shape[0]
+        n_lin = max(s.line for s in self.scans) + 1
+        n_sli = max(s.slice for s in self.scans) + 1
+        k = np.zeros((n_col, n_lin, n_sli), np.complex128)
+        for s in self.scans:
+            k[:, s.line, s.slice] = s.data
+        return k
+
+
+def _parse_protocol(text: str) -> Tuple[str, str]:
+    proto = ""
+    stamp = ""
+    m = re.search(r'tProtocolName\s*=\s*"+([^"]*)"+', text)
+    if m:
+        proto = m.group(1)
+    m = re.search(r'PrepareTimestamp\s*[=:]\s*"?([0-9TZ:\- .]+)"?', text)
+    if m:
+        stamp = m.group(1).strip()
+    return proto, stamp
+
+
+def read_twix(path: str) -> TwixMeasurement:
+    """Parse a VD/VE .dat file; returns the LAST measurement (the image
+    scan, by Siemens convention)."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    raid_id, n_meas = struct.unpack_from("<II", buf, 0)
+    if not (0 < n_meas < 64):
+        raise ValueError(
+            "not a VD/VE multi-raid twix file (VB-era files unsupported)"
+        )
+    entries = []
+    off = 8
+    for _ in range(n_meas):
+        meas_id, file_id, meas_off, meas_len = struct.unpack_from(
+            "<IIQQ", buf, off
+        )
+        pat = buf[off + 24: off + 88].split(b"\x00")[0].decode("latin-1")
+        prot = buf[off + 88: off + 152].split(b"\x00")[0].decode("latin-1")
+        entries.append((meas_id, meas_off, meas_len, pat, prot))
+        off += 152
+
+    meas_id, meas_off, meas_len, _, prot_name = entries[-1]
+    hdr_len = struct.unpack_from("<I", buf, meas_off)[0]
+    header_text = buf[meas_off + 4: meas_off + hdr_len].decode(
+        "latin-1", "replace"
+    )
+    proto, stamp = _parse_protocol(header_text)
+
+    pos = meas_off + hdr_len
+    end = meas_off + meas_len
+    scans: List[TwixScan] = []
+    while pos + _MDH_SIZE <= end:
+        fields = struct.unpack_from(_MDH_FMT, buf, pos)
+        eval_mask = fields[11]
+        n_samples = fields[12]
+        n_channels = fields[13]
+        loop = struct.unpack("<14H", fields[14])
+        line, slc = loop[0], loop[2]
+        pos += _MDH_SIZE
+        if eval_mask & ACQEND:
+            break
+        for _c in range(n_channels):
+            ch = struct.unpack_from(_CH_FMT, buf, pos)
+            pos += _CH_SIZE
+            raw = np.frombuffer(buf, np.complex64, n_samples, pos)
+            pos += n_samples * 8
+            scans.append(TwixScan(line=line, slice=slc, channel=ch[6],
+                                  data=raw.copy()))
+    return TwixMeasurement(
+        meas_id=meas_id,
+        protocol_name=proto or prot_name,
+        scan_datetime=stamp,
+        header_text=header_text,
+        scans=scans,
+    )
+
+
+def write_synthetic_twix(
+    path: str,
+    kspace: np.ndarray,                  # [columns, lines, slices] complex
+    protocol_name: str = "fl_gre_vent",
+    scan_datetime: str = "2024-03-01 10:15:00",
+) -> None:
+    """Write a VD/VE-layout .dat file for tests (one measurement, 1 channel)."""
+    n_col, n_lin, n_sli = kspace.shape
+    header_text = (
+        f'<XProtocol> tProtocolName = "{protocol_name}"\n'
+        f'PrepareTimestamp = "{scan_datetime}"\n'
+    )
+    hdr = header_text.encode("latin-1")
+    body = bytearray()
+    body += struct.pack("<I", 4 + len(hdr)) + hdr
+    loop = bytearray(28)
+    for sli in range(n_sli):
+        for lin in range(n_lin):
+            struct.pack_into("<14H", loop, 0, lin, 0, sli, 0, 0, 0, 0, 0, 0,
+                             0, 0, 0, 0, 0)
+            body += struct.pack(
+                _MDH_FMT,
+                0, 1, lin + 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, n_col, 1,
+                bytes(loop), 0, n_col // 2, 0, 0.0, 0, n_lin // 2, 0,
+                b"\x00" * 28, b"\x00" * 48, b"\x00" * 16,
+            )
+            body += struct.pack(_CH_FMT, 0, 1, lin + 1, 0, 0, 0, 0, 0, 0)
+            body += np.ascontiguousarray(
+                kspace[:, lin, sli], np.complex64
+            ).tobytes()
+    # ACQEND
+    struct.pack_into("<14H", loop, 0, *([0] * 14))
+    body += struct.pack(
+        _MDH_FMT, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, ACQEND, 0, 0,
+        bytes(loop), 0, 0, 0, 0.0, 0, 0, 0, b"\x00" * 28, b"\x00" * 48,
+        b"\x00" * 16,
+    )
+
+    meas_off = 8 + 152  # raid header + one entry
+    # pad measurement start to 512-byte alignment like real files
+    pad = (-meas_off) % 512
+    meas_off += pad
+    out = bytearray()
+    out += struct.pack("<II", 0, 1)
+    entry = bytearray(152)
+    struct.pack_into("<IIQQ", entry, 0, 1, 1, meas_off, len(body))
+    entry[24:24 + 7] = b"PHANTOM"
+    entry[88:88 + len(protocol_name.encode())] = protocol_name.encode()
+    out += entry
+    out += b"\x00" * pad
+    out += body
+    with open(path, "wb") as f:
+        f.write(out)

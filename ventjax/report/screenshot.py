@@ -1,0 +1,137 @@
+"""Annotated report screenshot — the 7-row RGB montage PNG.
+
+Layout parity with the reference screenShot (Vent_Analysis.py:458-520):
+rows = [blank, blank, proton, HPvent, N4 + green mask border,
+N4 + red defect overlay, N4 + parula-colored CI], cropped to the mask bbox
+with a 5-voxel border, annotated with patient/study/metric text.
+
+Deviations (documented):
+- the parula index int(CI*64/40) is clamped to [0,63] (the reference
+  IndexErrors for CI > ~39.4 mm);
+- fonts fall back from arial.ttf to DejaVu/default (no Windows fonts here).
+"""
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+from ventjax.oracle.reference import crop_to_data, normalize
+from ventjax.report.parula import PARULA_64
+
+
+def _font(size: int):
+    for name in ("arial.ttf", "DejaVuSans.ttf"):
+        try:
+            return ImageFont.truetype(name, size=size)
+        except Exception:
+            pass
+    try:
+        import matplotlib
+        path = os.path.join(
+            os.path.dirname(matplotlib.__file__),
+            "mpl-data", "fonts", "ttf", "DejaVuSans.ttf",
+        )
+        return ImageFont.truetype(path, size=size)
+    except Exception:
+        return ImageFont.load_default()
+
+
+def screenshot(
+    path: str,
+    hp: np.ndarray,
+    mask: np.ndarray,
+    mask_border: np.ndarray,
+    n4: np.ndarray,
+    defect: np.ndarray,
+    ci_map: Optional[np.ndarray],
+    proton: Optional[np.ndarray],
+    metadata: Dict,
+    version: str,
+    crop_border: int = 5,
+    parula_num: int = 64,
+    parula_den: int = 40,
+) -> str:
+    """Write the annotated montage PNG; returns the path."""
+    _, rr, cc, ss = crop_to_data(mask, border=crop_border)
+    ix = np.ix_(rr, cc, ss)
+
+    blank = np.zeros_like(hp[ix])
+    prot = normalize(proton[ix]) if proton is not None and np.shape(proton) == hp.shape else blank
+    hpn = normalize(hp[ix])
+    n4n = normalize(n4[ix])
+    border = normalize(mask_border[ix]) > 0
+    dA = defect[ix] > 0
+    ci = ci_map[ix] if ci_map is not None and np.shape(ci_map) == hp.shape else blank
+
+    idx = np.clip((ci * parula_num / parula_den).astype(int), 0, 63)
+    ci_rgb = PARULA_64[idx]  # [h, w, d, 3]
+
+    def stack_rows(chan):
+        red = chan == 0
+        green = chan == 1
+        ci_c = n4n * (ci == 0) + ci_rgb[..., chan] * (ci > 0)
+        border_row = n4n * (~border) + (1.0 if green else 0.0) * border
+        defect_row = n4n * (~dA) + (dA if red else 0)
+        return np.concatenate(
+            (blank, blank, prot, hpn, border_row, defect_row, ci_c), axis=2
+        )
+
+    n_slices = n4n.shape[2]
+    from ventjax.report.montage import montage
+    chans = [montage(stack_rows(c), grid_shape=(7, n_slices)) for c in range(3)]
+    image_arr = np.stack(chans, axis=2)
+
+    img = Image.fromarray(np.uint8(np.clip(image_arr, 0, 1) * 255))
+    draw = ImageDraw.Draw(img)
+    h0, w0 = n4n.shape[0], n4n.shape[1]
+    for k in ss:
+        draw.text((k * w0 - w0 / 2, h0 * 1.8), f"{k + 1}",
+                  fill=(255, 255, 255), font=_font(30))
+    md = metadata
+    W = image_arr.shape[1]
+    rows = [
+        (10, 0.10, 40, f"Patient: {md.get('PatientName','')} ({md.get('PatientAge','')}/{md.get('PatientSex','')})"),
+        (10, 0.40, 35, f"Disease: {md.get('Disease','')}"),
+        (10, 0.70, 35, f"StudyDate: {md.get('StudyDate','')}"),
+        (10, 1.00, 35, f"Visit#: {md.get('visit','')}"),
+        (10, 1.30, 35, f"Treatment: {md.get('treatment','')}"),
+        (round(W * .25), 0.10, 35, f"Lung Volume: {_round_ml(md.get('LungVolume'))} mL"),
+        (round(W * .25), 0.40, 35, f"Defect Volume: {_round_ml(md.get('DefectVolume'))} mL"),
+        (round(W * .50), 0.10, 35, f"DE: {md.get('DE','')} mL"),
+        (round(W * .50), 0.40, 35, f"FEV1: {md.get('FEV1','')} %"),
+        (round(W * .50), 0.70, 35, f"VDP: {_round1(md.get('VDP'))} %"),
+        (round(W * .50), 1.00, 35, f"CI: {_round0(md.get('CI'))} %"),
+        (round(W * .75), 0.25, 35, f"Analysis Version: {version}"),
+        (round(W * .75), 0.50, 35,
+         f"Analyzed by: {md.get('analysisUser','')} on "
+         f"{str(datetime.datetime.today()).split()[0]}"),
+    ]
+    for x, yf, size, text in rows:
+        draw.text((x, h0 * yf), text, fill=(255, 255, 255), font=_font(size))
+    img.save(path, "PNG")
+    return path
+
+
+def _round_ml(v):
+    try:
+        return np.round(float(v) * 1000)
+    except (TypeError, ValueError):
+        return ""
+
+
+def _round1(v):
+    try:
+        return np.round(float(v), 1)
+    except (TypeError, ValueError):
+        return ""
+
+
+def _round0(v):
+    try:
+        return np.round(float(v))
+    except (TypeError, ValueError):
+        return ""
