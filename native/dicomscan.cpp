@@ -1,0 +1,238 @@
+// ventjax native DICOM decoder.
+//
+// Host-side ingest is the reference pipeline's I/O hot spot (SURVEY.md §3.1:
+// the per-slice dcmread loop in openDICOMfolder).  This library parses DICOM
+// Part-10 files (Explicit/Implicit VR Little Endian, uncompressed pixel
+// data) with zero Python overhead; ventjax.io.native binds it via ctypes and
+// the cohort loader fans file decodes out across threads (the function
+// releases the GIL for the whole parse).
+//
+// API (stable, C ABI):
+//   vj_dicom_decode(path, meta[8], spacing[3], &pixels, &nbytes) -> 0 on ok
+//     meta = {rows, cols, frames, samples, bits, pixel_representation,
+//             has_spacing, has_slice_spacing}
+//     spacing = {row_mm, col_mm, between_slices_mm}
+//     pixels = malloc'd raw little-endian pixel buffer (caller frees via
+//              vj_free)
+//   vj_free(ptr)
+//   vj_version() -> int
+//
+// Build: make -C native   (g++ -O2 -shared -fPIC)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Cursor {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos = 0;
+  bool ok = true;
+
+  uint16_t u16() {
+    if (pos + 2 > len) { ok = false; return 0; }
+    uint16_t v;
+    std::memcpy(&v, buf + pos, 2);
+    pos += 2;
+    return v;
+  }
+  uint32_t u32() {
+    if (pos + 4 > len) { ok = false; return 0; }
+    uint32_t v;
+    std::memcpy(&v, buf + pos, 4);
+    pos += 4;
+    return v;
+  }
+  bool skip(size_t n) {
+    if (pos + n > len) { ok = false; return false; }
+    pos += n;
+    return true;
+  }
+};
+
+struct Parsed {
+  int64_t rows = 0, cols = 0, frames = 1, samples = 1, bits = 16, pixrep = 0;
+  double row_sp = 0, col_sp = 0, slice_sp = 0;
+  bool has_spacing = false, has_slice_sp = false;
+  const uint8_t* pixels = nullptr;
+  size_t pixel_len = 0;
+};
+
+bool is_short_vr(const char vr[2]) {
+  static const char* long_vrs[] = {"OB", "OW", "OF", "OD", "OL",
+                                   "SQ", "UC", "UR", "UT", "UN"};
+  for (auto* lv : long_vrs)
+    if (vr[0] == lv[0] && vr[1] == lv[1]) return false;
+  return true;
+}
+
+double parse_ds(const uint8_t* p, size_t n) {
+  std::string s(reinterpret_cast<const char*>(p), n);
+  return atof(s.c_str());
+}
+
+// Walk one dataset level.  `end` bounds the walk; sequences with undefined
+// length recurse until their delimiter.  Returns false on malformed data.
+bool walk(Cursor& c, size_t end, bool explicit_vr, Parsed& out, int depth) {
+  if (depth > 16) return false;
+  while (c.pos + 8 <= end && c.ok) {
+    uint16_t group = c.u16();
+    uint16_t elem = c.u16();
+    // delimiters
+    if (group == 0xFFFE) {
+      uint32_t len = c.u32();
+      if (elem == 0xE00D || elem == 0xE0DD) return true;  // end of item/seq
+      // item start: recurse one level (same tag capture)
+      size_t iend = (len == 0xFFFFFFFF) ? end : c.pos + len;
+      if (!walk(c, iend, explicit_vr, out, depth + 1)) return false;
+      continue;
+    }
+    char vr[2] = {0, 0};
+    uint32_t len;
+    if (explicit_vr) {
+      if (c.pos + 2 > c.len) return false;
+      vr[0] = c.buf[c.pos];
+      vr[1] = c.buf[c.pos + 1];
+      c.pos += 2;
+      if (is_short_vr(vr)) {
+        len = c.u16();
+      } else {
+        c.skip(2);
+        len = c.u32();
+      }
+    } else {
+      len = c.u32();
+    }
+    if (!c.ok) return false;
+
+    bool is_sq = explicit_vr ? (vr[0] == 'S' && vr[1] == 'Q')
+                             : (len == 0xFFFFFFFF);
+    if (is_sq || len == 0xFFFFFFFF) {
+      size_t send = (len == 0xFFFFFFFF) ? end : c.pos + len;
+      if (!walk(c, send, explicit_vr, out, depth + 1)) return false;
+      continue;
+    }
+
+    uint32_t tag = (uint32_t(group) << 16) | elem;
+    const uint8_t* val = c.buf + c.pos;
+    switch (tag) {
+      case 0x00280010: out.rows = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280011: out.cols = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280002: out.samples = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280100: out.bits = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280103: out.pixrep = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280008: {  // NumberOfFrames, IS string
+        std::string s(reinterpret_cast<const char*>(val), len);
+        out.frames = atoll(s.c_str());
+        if (out.frames <= 0) out.frames = 1;
+        break;
+      }
+      case 0x00280030: {  // PixelSpacing "row\col"
+        if (!out.has_spacing) {
+          std::string s(reinterpret_cast<const char*>(val), len);
+          size_t sep = s.find('\\');
+          if (sep != std::string::npos) {
+            out.row_sp = atof(s.substr(0, sep).c_str());
+            out.col_sp = atof(s.substr(sep + 1).c_str());
+            out.has_spacing = true;
+          }
+        }
+        break;
+      }
+      case 0x00180088:
+        out.slice_sp = parse_ds(val, len);
+        out.has_slice_sp = true;
+        break;
+      case 0x7FE00010:
+        out.pixels = val;
+        out.pixel_len = len;
+        break;
+      default:
+        break;
+    }
+    if (!c.skip(len)) return false;
+  }
+  return true;
+}
+
+bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
+  size_t body_start = 0;
+  bool explicit_vr = true;
+  if (n > 132 && std::memcmp(buf + 128, "DICM", 4) == 0) {
+    // file meta group (always explicit); find transfer syntax (0002,0010)
+    Cursor m{buf, n, 132};
+    std::string ts;
+    while (m.pos + 8 <= n && m.ok) {
+      size_t save = m.pos;
+      uint16_t group = m.u16();
+      uint16_t elem = m.u16();
+      if (group != 0x0002) { m.pos = save; break; }
+      char vr[2] = {(char)buf[m.pos], (char)buf[m.pos + 1]};
+      m.pos += 2;
+      uint32_t len;
+      if (is_short_vr(vr)) len = m.u16();
+      else { m.skip(2); len = m.u32(); }
+      if (group == 0x0002 && elem == 0x0010)
+        ts.assign(reinterpret_cast<const char*>(buf + m.pos), len);
+      m.skip(len);
+    }
+    body_start = m.pos;
+    while (!ts.empty() && (ts.back() == '\0' || ts.back() == ' ')) ts.pop_back();
+    if (ts == "1.2.840.10008.1.2") explicit_vr = false;
+    else if (!ts.empty() && ts != "1.2.840.10008.1.2.1") return false;
+  }
+  Cursor c{buf, n, body_start};
+  return walk(c, n, explicit_vr, out, 0) && out.rows > 0 && out.pixels;
+}
+
+}  // namespace
+
+extern "C" {
+
+int vj_version() { return 1; }
+
+void vj_free(uint8_t* p) { std::free(p); }
+
+int vj_dicom_decode(const char* path, int64_t meta[8], double spacing[3],
+                    uint8_t** pixels, int64_t* nbytes) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(n);
+  if (std::fread(buf.data(), 1, n, f) != size_t(n)) {
+    std::fclose(f);
+    return 2;
+  }
+  std::fclose(f);
+
+  Parsed p;
+  if (!parse_file(buf.data(), buf.size(), p)) return 3;
+
+  meta[0] = p.rows;
+  meta[1] = p.cols;
+  meta[2] = p.frames;
+  meta[3] = p.samples;
+  meta[4] = p.bits;
+  meta[5] = p.pixrep;
+  meta[6] = p.has_spacing ? 1 : 0;
+  meta[7] = p.has_slice_sp ? 1 : 0;
+  spacing[0] = p.row_sp;
+  spacing[1] = p.col_sp;
+  spacing[2] = p.slice_sp;
+
+  uint8_t* out = static_cast<uint8_t*>(std::malloc(p.pixel_len));
+  if (!out) return 4;
+  std::memcpy(out, p.pixels, p.pixel_len);
+  *pixels = out;
+  *nbytes = int64_t(p.pixel_len);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,15 @@
+from ventjax.models.segmentation import (
+    SegUNet,
+    TrainState,
+    create_train_state,
+    train_step,
+    predict_mask,
+)
+
+__all__ = [
+    "SegUNet",
+    "TrainState",
+    "create_train_state",
+    "train_step",
+    "predict_mask",
+]

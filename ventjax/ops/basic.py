@@ -6,6 +6,7 @@ indexing, sort-with-sentinel instead of compaction).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -44,16 +45,50 @@ def masked_std(x: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(w * (x - mu) ** 2) / n)
 
 
+def _order_key(x: jnp.ndarray) -> jnp.ndarray:
+    """Total-order uint32 key for float32 (IEEE monotone bit trick)."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    neg = bits >> 31 == 1
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _key_to_float(key: jnp.ndarray) -> jnp.ndarray:
+    neg = key >> 31 == 0
+    bits = jnp.where(neg, ~key, key & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def masked_kth_smallest(x: jnp.ndarray, m: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Exact (k+1)-th smallest masked float32 value, sort-free.
+
+    A full jnp.sort of a 262k-voxel volume costs ~10 ms on TPU; instead run
+    a 32-step binary search over the IEEE-754 bitspace (floats map to a
+    totally ordered uint32 key), counting masked values <= pivot with one
+    fused compare-reduce per step — ~8M VPU ops, microseconds.
+    """
+    keys = _order_key(x).reshape(-1)
+    w = (m.reshape(-1) > 0)
+
+    def body(_, bounds):
+        lo, hi = bounds  # invariant: count(<= lo) <= k < count(<= hi)
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(w & (keys <= mid))
+        return jnp.where(cnt <= k, mid, lo), jnp.where(cnt <= k, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, 32, body, (jnp.uint32(0), jnp.uint32(0xFFFFFFFF))
+    )
+    return _key_to_float(hi)
+
+
 def masked_sorted_index(x: jnp.ndarray, m: jnp.ndarray, frac: float) -> jnp.ndarray:
     """sorted(x[m>0])[int(count * frac)] with static shapes.
 
     Mirrors the reference's floor-index percentile convention
     (Vent_Analysis.py:255 `signal_list[int(len(signal_list)*.99)]` and
-    :269 `CVlist[int(0.95*len(CVlist))]`).  Masked-out voxels are pushed to
-    +inf so the sorted prefix is exactly the masked values ascending.
+    :269 `CVlist[int(0.95*len(CVlist))]`), computed by bitspace selection
+    instead of a sort.
     """
-    flat = jnp.where(m.reshape(-1) > 0, x.reshape(-1), jnp.inf)
-    srt = jnp.sort(flat)
     count = jnp.sum(m > 0)
     idx = (count * frac).astype(jnp.int32)
-    return srt[idx]
+    return masked_kth_smallest(x, m, idx)

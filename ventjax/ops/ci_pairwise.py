@@ -165,6 +165,69 @@ def _threshold_tables(geom: CIPairwiseGeometry, K: int):
     return jnp.asarray(thr), jnp.asarray(j_lo), j_cap
 
 
+def ci_pairwise_balls(
+    centers: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    witnesses: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    geom: CIPairwiseGeometry,
+    row_chunk: int = 1024,
+) -> jnp.ndarray:
+    """First-failing-ball index per center voxel (M-1 sentinel = saturated).
+
+    centers/witnesses are padded int32 coordinate triples; padded slots use
+    far-away sentinel coordinates (|coord| huge) so they miss every box
+    check.  Separating the two sets enables slice-sharded (halo-exchange)
+    execution: centers = local shard, witnesses = shard + halo.
+    """
+    vi_all, vj_all, vk_all = centers
+    wi, wj, wk = witnesses
+    K = vi_all.shape[0]
+    nw = wi.shape[0]
+    M = geom.n_balls
+    s0, s1, s2 = geom.scale
+    thr, j_lo, j_cap = _threshold_tables(geom, nw)
+    combos = _alias_combos(geom)
+    rmax = geom.rmax
+    r2_last = geom.r2_last
+
+    def row_block(vc):
+        vi, vj, vk = vc
+        inf = jnp.float32(jnp.inf)
+        dmin2 = jnp.full((vi.shape[0], nw), inf)
+        for (p, q, s) in combos:
+            oi = (wi[None, :] - vi[:, None]) + p
+            oj = (wj[None, :] - vj[:, None]) + q
+            ok_ = (wk[None, :] - vk[:, None]) + s
+            inbox = (
+                (jnp.abs(oi) <= rmax)
+                & (jnp.abs(oj) <= rmax)
+                & (jnp.abs(ok_) <= rmax)
+            )
+            fx = oi.astype(jnp.float32) * s0
+            fy = oj.astype(jnp.float32) * s1
+            fz = ok_.astype(jnp.float32) * s2
+            d2 = fx * fx + fy * fy + fz * fz
+            hit = inbox & (d2 <= r2_last)
+            dmin2 = jnp.minimum(dmin2, jnp.where(hit, d2, inf))
+        srt = jnp.sort(dmin2, axis=1)
+        failing = srt > thr[None, :]
+        any_f = jnp.any(failing, axis=1)
+        tstar = jnp.argmax(failing, axis=1)
+        j = jnp.where(any_f, j_lo[tstar], M - 1)
+        return jnp.minimum(j, j_cap)
+
+    n_chunks = -(-K // row_chunk)
+    kpad = n_chunks * row_chunk
+    pad = lambda x: jnp.full((kpad,), 0, x.dtype).at[:K].set(x)
+    return jax.lax.map(
+        row_block,
+        (
+            pad(vi_all).reshape(n_chunks, row_chunk),
+            pad(vj_all).reshape(n_chunks, row_chunk),
+            pad(vk_all).reshape(n_chunks, row_chunk),
+        ),
+    ).reshape(-1)[:K]
+
+
 def calculate_ci_pairwise(
     defect: jnp.ndarray,
     geom: CIPairwiseGeometry,
@@ -187,53 +250,12 @@ def calculate_ci_pairwise(
     jj = jnp.where(valid, ((cidx // D) % W).astype(jnp.int32), -SENT)
     kk = jnp.where(valid, (cidx % D).astype(jnp.int32), SENT)
 
-    thr, j_lo, j_cap = _threshold_tables(geom, K)
-    combos = _alias_combos(geom)
-    radii32 = jnp.asarray(geom.radii32)
-    rmax = geom.rmax
-    r2_last = geom.r2_last
-
-    def row_block(vc):
-        vi, vj, vk = vc
-        inf = jnp.float32(jnp.inf)
-        dmin2 = jnp.full((vi.shape[0], K), inf)
-        for (p, q, s) in combos:
-            oi = (ii[None, :] - vi[:, None]) + p
-            oj = (jj[None, :] - vj[:, None]) + q
-            ok_ = (kk[None, :] - vk[:, None]) + s
-            inbox = (
-                (jnp.abs(oi) <= rmax)
-                & (jnp.abs(oj) <= rmax)
-                & (jnp.abs(ok_) <= rmax)
-            )
-            fx = oi.astype(jnp.float32) * s0
-            fy = oj.astype(jnp.float32) * s1
-            fz = ok_.astype(jnp.float32) * s2
-            d2 = fx * fx + fy * fy + fz * fz
-            hit = inbox & (d2 <= r2_last)
-            dmin2 = jnp.minimum(dmin2, jnp.where(hit, d2, inf))
-        srt = jnp.sort(dmin2, axis=1)
-        failing = srt > thr[None, :]
-        any_f = jnp.any(failing, axis=1)
-        tstar = jnp.argmax(failing, axis=1)
-        j = jnp.where(any_f, j_lo[tstar], M - 1)
-        j = jnp.minimum(j, j_cap)
-        return j
-
-    n_chunks = -(-K // row_chunk)
-    kpad = n_chunks * row_chunk
-    pad = lambda x: jnp.full((kpad,), 0, x.dtype).at[:K].set(x)
-    jballs = jax.lax.map(
-        row_block,
-        (
-            pad(ii).reshape(n_chunks, row_chunk),
-            pad(jj).reshape(n_chunks, row_chunk),
-            pad(kk).reshape(n_chunks, row_chunk),
-        ),
-    ).reshape(-1)[:K]
+    jballs = ci_pairwise_balls(
+        (ii, jj, kk), (ii, jj, kk), geom, row_chunk=row_chunk
+    )
 
     saturated = (jballs >= M - 1) & valid
-    cv = radii32[jballs] * geom.min_vox
+    cv = jnp.asarray(geom.radii32)[jballs] * geom.min_vox
 
     ci_flat = jnp.zeros(H * W * D, jnp.float32)
     scatter_idx = jnp.where(valid, cidx, H * W * D)

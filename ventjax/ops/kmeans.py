@@ -20,16 +20,17 @@ import jax.numpy as jnp
 
 def _masked_quantiles(vals: jnp.ndarray, m: jnp.ndarray, k: int) -> jnp.ndarray:
     """np.quantile(vals[m>0], (arange(k)+0.5)/k) with static shapes
-    (linear interpolation convention)."""
-    flat = jnp.where(m > 0, vals, jnp.inf)
-    srt = jnp.sort(flat)
+    (linear interpolation convention), via sort-free bitspace selection."""
+    from ventjax.ops.basic import masked_kth_smallest
+
     n = jnp.sum(m > 0)
     qs = (jnp.arange(k) + 0.5) / k
     pos = qs * (n - 1).astype(vals.dtype)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
-    f = pos - lo
-    return (1 - f) * srt[lo] + f * srt[hi]
+    f = (pos - lo).astype(vals.dtype)
+    sel = jax.vmap(lambda i: masked_kth_smallest(vals, m, i))
+    return (1 - f) * sel(lo) + f * sel(hi)
 
 
 def vdp_kmeans(

@@ -38,11 +38,32 @@ def load_manifest(path: str) -> List[Dict]:
     return subjects
 
 
+def _decode_mask_folder_fast(folder: str) -> Optional[np.ndarray]:
+    """Native per-slice decode of the mask folder (the reference's ingest hot
+    loop, SURVEY.md §3.1); None -> fall back to the Python codec."""
+    from ventjax.io import native
+
+    if not native.available():
+        return None
+    files = [f for f in sorted(os.listdir(folder)) if f.endswith(".dcm")]
+    if not files:
+        return None
+    slices = []
+    for fname in files:
+        r = native.decode_pixels(os.path.join(folder, fname))
+        if r is None:
+            return None
+        slices.append(r[0])
+    return np.stack(slices, axis=-1).astype(np.float64)
+
+
 def _decode_subject(entry: Dict) -> Tuple[Optional[np.ndarray], ...]:
     """Host-side DICOM decode for one subject; None signals a decode error."""
     try:
         ds, hp = dcm.open_single_dicom(entry["xenon"])
-        _, mask = dcm.open_dicom_folder(entry["mask"])
+        mask = _decode_mask_folder_fast(entry["mask"])
+        if mask is None:
+            _, mask = dcm.open_dicom_folder(entry["mask"])
         vox = None
         for k in range(100):
             try:
