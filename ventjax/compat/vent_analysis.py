@@ -173,6 +173,7 @@ class Vent_Analysis:
             convergence_threshold=c.n4_convergence_threshold,
             bins=c.n4_histogram_bins, fwhm=c.n4_bias_fwhm,
             wiener_noise=c.n4_wiener_noise, control_points=c.n4_control_points,
+            mask_pad=c.n4_mask_pad,
         )
         self.N4HPvent = np.asarray(n4)
         defect, vdp = vdp_mean_anchored(n4, mask, thresh)

@@ -94,6 +94,9 @@ class VentConfig:
     # Control points per dimension at the coarsest level (ITK default is 4,
     # i.e. a single cubic B-spline mesh element).
     n4_control_points: int = 4
+    # Static bound on masked-voxel count for the compacted N4 iteration
+    # (lungs at 128x128x16/1.5mm are ~6-30k voxels); overflow is flagged.
+    n4_mask_pad: int = 32768
 
     # ---- Report / screenshot (Vent_Analysis.py:458-520) ----------------------
     # Parula LUT index = int(CI * parula_scale_num / parula_scale_den)

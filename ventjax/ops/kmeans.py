@@ -48,16 +48,24 @@ def vdp_kmeans(
     w = (mask.reshape(-1) > 0).astype(vals.dtype)
     centers0 = _masked_quantiles(vals, w, k)
 
-    def step(centers, _):
+    def body(carry):
+        i, centers, _ = carry
         d = jnp.abs(vals[:, None] - centers[None, :])
         assign = jnp.argmin(d, axis=1)
         onehot = jax.nn.one_hot(assign, k, dtype=vals.dtype) * w[:, None]
         counts = jnp.sum(onehot, axis=0)
         sums = onehot.T @ vals
-        new = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1.0), centers)
-        return new, None
+        new = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1.0),
+                        centers)
+        # Early stop when centers are exactly unchanged: further iterations
+        # would be no-ops, so the result is identical to fixed-count Lloyd's.
+        return i + 1, new, jnp.all(new == centers)
 
-    centers, _ = jax.lax.scan(step, centers0, None, length=iters)
+    _, centers, _ = jax.lax.while_loop(
+        lambda c: (c[0] < iters) & ~c[2],
+        body,
+        (jnp.asarray(0), centers0, jnp.asarray(False)),
+    )
 
     d = jnp.abs(vals[:, None] - centers[None, :])
     assign = jnp.argmin(d, axis=1)

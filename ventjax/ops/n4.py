@@ -2,23 +2,27 @@
 
 Same algorithm and parameters as ventjax.oracle.n4_oracle (from-scratch N4,
 ITK defaults; the reference reaches it through SimpleITK C++ at
-Vent_Analysis.py:316-334).  TPU mapping:
+Vent_Analysis.py:316-334).
 
-- the 200-bin histogram is a scatter-add (static shape);
-- Wiener sharpening is a pair of 512-point FFTs (tiny);
-- the Lee-BA B-spline fit is three separable basis contractions --
-  plain matmuls that land on the MXU;
-- per-level iteration runs under lax.fori_loop with convergence-frozen
-  updates, so the result equals the oracle's early-breaking loop while
-  shapes stay static.
+TPU mapping (three ideas):
+1. Only masked voxels participate in every iteration (histogram, sharpening,
+   residual, and the B-spline fit's nonzero contributions), and the mask is
+   iteration-invariant — so the loop runs on a *compacted* padded vector of
+   masked voxels (~2-10% of the volume) with per-voxel gathered B-spline
+   basis rows; the full-grid field is reconstructed once at the end.
+2. The fractional histogram and expectation-table lookup are triangular-
+   kernel contractions (linear interpolation == relu(1-|t-b|) weights), i.e.
+   fused multiply-reduce loops — scatter/gather-free (both serialize on TPU).
+3. The Lee-BA fit is separable basis contractions — small MXU matmuls; the
+   per-level lattice accumulates so the final field is one dense evaluation.
 
-The per-level basis matrices are host-precomputed constants (shared code with
-the oracle) so device and oracle geometry are identical.
+Iteration runs under an early-stopping while_loop with convergence-frozen
+updates, matching the oracle's breaking loop exactly.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,29 +33,18 @@ from ventjax.oracle.n4_oracle import _next_pow2_padded, bspline_basis_1d
 LOG2 = float(np.log(2.0))
 
 
-def _sharpen(logu, m, bins, fwhm, wiener_noise, padded, offset):
-    """Histogram-sharpen masked log intensities; zeros outside the mask.
-
-    TPU notes: the fractional histogram and the expectation-table lookup are
-    expressed as triangular-kernel contractions instead of scatter/gather —
-    linear interpolation into two adjacent bins is exactly a triangle weight
-    relu(1 - |t - b|), so both become fused multiply-reduce loops that XLA
-    keeps entirely on the VPU (a scatter-add of 262k voxels serializes on
-    TPU and costs ~ms; this costs ~0.1ms).
-    """
+def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
+    """Histogram-sharpen a padded masked-value vector (weights wv in {0,1})."""
     dtype = logu.dtype
-    w = m.astype(dtype)
-    binmin = jnp.min(jnp.where(m, logu, jnp.inf))
-    binmax = jnp.max(jnp.where(m, logu, -jnp.inf))
+    binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
+    binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
     slope = (binmax - binmin) / (bins - 1)
 
-    t = (logu - binmin) / slope
-    tflat = t.reshape(-1)
+    t = jnp.clip((logu - binmin) / slope, 0.0, float(bins - 1)) * wv
     bin_ids = jnp.arange(bins, dtype=dtype)
-    # hist[b] = sum_v w_v * relu(1 - |t_v - b|)  (== fractional binning for
-    # in-range t; masked voxels contribute 0 via w).
-    tri = jnp.maximum(0.0, 1.0 - jnp.abs(tflat[:, None] - bin_ids[None, :]))
-    hist = jnp.sum(w.reshape(-1)[:, None] * tri, axis=0)
+    # hist[b] = sum_v wv * relu(1 - |t_v - b|)  (fractional binning).
+    tri = jnp.maximum(0.0, 1.0 - jnp.abs(t[:, None] - bin_ids[None, :]))
+    hist = jnp.sum(wv[:, None] * tri, axis=0)
 
     v = jnp.zeros(padded, dtype).at[offset:offset + bins].set(hist)
     vf = jnp.fft.fft(v)
@@ -72,54 +65,19 @@ def _sharpen(logu, m, bins, fwhm, wiener_noise, padded, offset):
     den = jnp.real(jnp.fft.ifft(jnp.fft.fft(u) * ff))
     expectation = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
 
-    # sharpened_v = linear interp of E at (t + offset): same triangle trick.
-    # In-mask positions live in [offset, offset+bins-1], so only a
-    # (bins+2)-entry slice of E is ever touched — shrink the contraction and
-    # express it as a fused multiply-reduce (a dot would materialize the
-    # [V, bins] triangle matrix in HBM).
+    # linear interp of E at t+offset via the same triangle trick over the
+    # (bins+2)-entry slice of E that masked positions can touch.
     e_loc = jax.lax.dynamic_slice(expectation, (offset - 1,), (bins + 2,))
-    tloc = (t + 1.0).reshape(-1)  # t - (offset-1) + offset
     loc_ids = jnp.arange(bins + 2, dtype=dtype)
-    tri2 = jnp.maximum(0.0, 1.0 - jnp.abs(tloc[:, None] - loc_ids[None, :]))
-    sharpened = jnp.sum(tri2 * e_loc[None, :], axis=1).reshape(logu.shape)
-    return jnp.where(m, sharpened, 0.0)
-
-
-def _level_constants(shape: Tuple[int, int, int], n_elements: int, dtype):
-    """Host-side per-level constants: 1-D bases and their powers."""
-    H, W, D = shape
-    br = bspline_basis_1d(H, n_elements)
-    bc = bspline_basis_1d(W, n_elements)
-    bs = bspline_basis_1d(D, n_elements)
-    s = (
-        (br ** 2).sum(1)[:, None, None]
-        * (bc ** 2).sum(1)[None, :, None]
-        * (bs ** 2).sum(1)[None, None, :]
-    )
-    cast = lambda a: jnp.asarray(a, dtype)
-    return (
-        cast(br), cast(bc), cast(bs),
-        cast(br ** 2), cast(bc ** 2), cast(bs ** 2),
-        cast(br ** 3), cast(bc ** 3), cast(bs ** 3),
-        cast(s),
-    )
-
-
-def _fit_field(residual, w, consts, den):
-    # precision=HIGHEST: these land on the MXU, whose default bf16 inputs
-    # would inject ~1e-3 error into the bias field.
-    br, bc, bs, _, _, _, br3, bc3, bs3, s = consts
-    hi = jax.lax.Precision.HIGH
-    a = w * residual / s
-    num = jnp.einsum("hc,wd,se,hws->cde", br3, bc3, bs3, a, precision=hi)
-    phi = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
-    return jnp.einsum("hc,wd,se,cde->hws", br, bc, bs, phi, precision=hi)
+    tri2 = jnp.maximum(0.0, 1.0 - jnp.abs((t + 1.0)[:, None] - loc_ids[None, :]))
+    return jnp.sum(tri2 * e_loc[None, :], axis=1) * wv
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fitting_levels", "max_iters", "bins", "control_points", "return_field",
+        "fitting_levels", "max_iters", "bins", "control_points",
+        "mask_pad", "return_field", "return_overflow",
     ),
 )
 def n4_bias_correction(
@@ -132,61 +90,125 @@ def n4_bias_correction(
     fwhm: float = 0.15,
     wiener_noise: float = 0.01,
     control_points: int = 4,
+    mask_pad: Optional[int] = None,
     return_field: bool = False,
+    return_overflow: bool = False,
 ):
-    """N4-corrected image (same dtype as input promoted to float32+)."""
+    """N4-corrected image.  mask_pad statically bounds the masked voxel
+    count (default: the full volume — always safe); if the mask exceeds it,
+    excess voxels are ignored and the overflow flag (return_overflow) is set.
+    """
+    H, W, D = image.shape
+    V = H * W * D
+    P = V if mask_pad is None else min(int(mask_pad), V)
     dtype = jnp.promote_types(image.dtype, jnp.float32)
     img = image.astype(dtype)
     m = (mask > 0) & (img > 0)
-    w = m.astype(dtype)
-    log_input = jnp.where(m, jnp.log(jnp.where(img > 0, img, 1.0)), 0.0)
+
+    flat_m = m.reshape(-1)
+    n_mask = jnp.sum(flat_m)
+    (idx,) = jnp.nonzero(flat_m, size=P, fill_value=0)
+    wv = (jnp.arange(P) < n_mask).astype(dtype)
+    overflow = n_mask > P
+
+    img_flat = img.reshape(-1)
+    vals = jnp.maximum(img_flat[idx], 1.0e-30)
+    logv = jnp.log(jnp.where(wv > 0, vals, 1.0)) * wv
+    hc = (idx // (W * D)).astype(jnp.int32)
+    wc = ((idx // D) % W).astype(jnp.int32)
+    sc = (idx % D).astype(jnp.int32)
 
     padded = _next_pow2_padded(bins)
     offset = (padded - bins) // 2
 
-    total = jnp.zeros_like(log_input)
+    field_v = jnp.zeros(P, dtype)
+    phi_totals = []
     for level in range(fitting_levels):
         n_elements = (control_points - 3) * 2 ** level
-        consts = _level_constants(image.shape, n_elements, dtype)
-        _, _, _, br2, bc2, bs2, _, _, _, _ = consts
+        br = bspline_basis_1d(H, n_elements)
+        bc = bspline_basis_1d(W, n_elements)
+        bs = bspline_basis_1d(D, n_elements)
+        ncp = br.shape[1]
+        s1 = (br ** 2).sum(1)
+        s2 = (bc ** 2).sum(1)
+        s3 = (bs ** 2).sum(1)
+        # Per-voxel basis rows / normalizers (gathered once per level), and
+        # the iteration-invariant col(x)slice outer-product rows: with
+        # BO[p, d*e] = bcv[p,d]*bsv[p,e], the 3-way point contraction
+        # num[c,d,e] = sum_p a_p br_p[c] bc_p[d] bs_p[e] collapses to the
+        # skinny matmul (a*brv)^T @ BO — no [P,c,d] materialization.
+        brv = jnp.asarray(br, dtype)[hc]
+        bcv = jnp.asarray(bc, dtype)[wc]
+        bsv = jnp.asarray(bs, dtype)[sc]
+        sv = (jnp.asarray(s1, dtype)[hc] * jnp.asarray(s2, dtype)[wc]
+              * jnp.asarray(s3, dtype)[sc])
+        bo = (bcv[:, :, None] * bsv[:, None, :]).reshape(P, ncp * ncp)
+        bo3 = (bcv[:, :, None] ** 3 * bsv[:, None, :] ** 3).reshape(P, ncp * ncp)
+        bo2 = (bcv[:, :, None] ** 2 * bsv[:, None, :] ** 2).reshape(P, ncp * ncp)
+        brv3 = brv ** 3
+        hi = jax.lax.Precision.HIGH
+
         den = jnp.einsum(
-            "hc,wd,se,hws->cde", br2, bc2, bs2, w,
+            "pc,pf->cf", wv[:, None] * brv ** 2, bo2, precision=hi
+        )
+        phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
+
+        def body(carry, den=den, brv=brv, brv3=brv3, bo=bo, bo3=bo3, sv=sv,
+                 ncp=ncp):
+            i, field_v, phi_total, done = carry
+            logu = (logv - field_v) * wv
+            sharpened = _sharpen_vec(
+                logu, wv, bins, fwhm, wiener_noise, padded, offset
+            )
+            residual = (logu - sharpened) * wv
+            # flush sub-normals (CPU denormal emulation is ~100x slower)
+            residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
+            a_v = residual / jnp.maximum(sv, 1e-30)
+            num = jnp.einsum("pc,pf->cf", a_v[:, None] * brv3, bo3,
+                             precision=hi)
+            phi = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0),
+                            0.0)
+            # delta_p = sum_c brv[p,c] * (BO @ phi[c,:]^T)[p,c]
+            g = jnp.einsum("pf,cf->pc", bo, phi, precision=hi)
+            delta = jnp.sum(brv * g, axis=1)
+            delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta) * wv
+
+            ed = jnp.exp(delta)
+            nmask = jnp.sum(wv)
+            mu = jnp.sum(ed * wv) / nmask
+            sd = jnp.sqrt(jnp.sum(wv * (ed - mu) ** 2) / nmask)
+            cv = sd / mu
+
+            new_field = jnp.where(done, field_v, field_v + delta)
+            new_phi = jnp.where(done, phi_total, phi_total + phi)
+            new_done = done | (cv < convergence_threshold)
+            return i + 1, new_field, new_phi, new_done
+
+        _, field_v, phi_total, _ = jax.lax.while_loop(
+            lambda c: (c[0] < max_iters) & ~c[3],
+            body,
+            (jnp.asarray(0), field_v, phi_total, jnp.asarray(False)),
+        )
+        phi_totals.append((level, phi_total))
+
+    # Full-grid field: one dense separable evaluation per level (cheap, once).
+    total_field = jnp.zeros((H, W, D), dtype)
+    for level, phi_total in phi_totals:
+        n_elements = (control_points - 3) * 2 ** level
+        br = jnp.asarray(bspline_basis_1d(H, n_elements), dtype)
+        bc = jnp.asarray(bspline_basis_1d(W, n_elements), dtype)
+        bs = jnp.asarray(bspline_basis_1d(D, n_elements), dtype)
+        ncp = br.shape[1]
+        total_field = total_field + jnp.einsum(
+            "hc,wd,se,cde->hws", br, bc, bs,
+            phi_total.reshape(ncp, ncp, ncp),
             precision=jax.lax.Precision.HIGH,
         )
 
-        def body(carry, consts=consts, den=den):
-            i, total, done = carry
-            logu = log_input - total
-            sharpened = _sharpen(logu, m, bins, fwhm, wiener_noise, padded, offset)
-            residual = jnp.where(m, logu - sharpened, 0.0)
-            # Flush sub-normal residuals: as the fit converges these underflow
-            # toward float32 denormals, which TPUs flush in hardware but CPUs
-            # emulate at ~100x cost; 1e-18 is far below any meaningful
-            # log-intensity residual.
-            residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
-            delta = _fit_field(residual, w, consts, den)
-            delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta)
-            # Convergence: CV of exp(delta) over the mask (population std).
-            ed = jnp.exp(delta)
-            nmask = jnp.sum(w)
-            mu = jnp.sum(ed * w) / nmask
-            sd = jnp.sqrt(jnp.sum(w * (ed - mu) ** 2) / nmask)
-            cv = sd / mu
-            # Oracle applies delta, then checks, then breaks: replicate by
-            # freezing updates once done.
-            new_total = jnp.where(done, total, total + delta)
-            new_done = done | (cv < convergence_threshold)
-            return i + 1, new_total, new_done
-
-        # Early-stopping while loop: identical math to the oracle's breaking
-        # loop (frozen-done lanes under vmap keep their converged state).
-        _, total, _ = jax.lax.while_loop(
-            lambda c: (c[0] < max_iters) & ~c[2],
-            body,
-            (jnp.asarray(0), total, jnp.asarray(False)),
-        )
-
-    corrected = img * jnp.exp(-total)
+    corrected = img * jnp.exp(-total_field)
+    out = (corrected,)
     if return_field:
-        return corrected, total
-    return corrected
+        out = out + (total_field,)
+    if return_overflow:
+        out = out + (overflow,)
+    return out if len(out) > 1 else out[0]

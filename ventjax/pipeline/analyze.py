@@ -66,6 +66,7 @@ def analyze_study(
         fwhm=c.n4_bias_fwhm,
         wiener_noise=c.n4_wiener_noise,
         control_points=c.n4_control_points,
+        mask_pad=c.n4_mask_pad,
     )
     defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
     defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
