@@ -69,6 +69,23 @@ def test_export_nifti_channel_order(tmp_path):
     assert data[..., 5].sum() == 0
 
 
+def test_export_dicom_multiframe(tmp_path):
+    """forPACS=False: one multi-frame RGB DICOM (Vent_Analysis.py:392-404)."""
+    ph = make_phantom(shape=(16, 16, 4), seed=0)
+    ds = dcm.Dataset()
+    ds.SOPClassUID = dcm.MR_STORAGE
+    ds.SOPInstanceUID = dcm.generate_uid()
+    path = rexport.export_dicom(
+        ds, ph.hp, ph.true_defect, str(tmp_path),
+        optional_text="t", for_pacs=False, vdp=5.0, patient_name="P",
+    )
+    back = dcm.read_file(path)
+    arr = back.pixel_array
+    assert arr.shape == (4, 16, 16, 3)  # slices first for DICOM export
+    assert int(back.NumberOfFrames) == 4
+    assert back.SOPInstanceUID == back.SeriesInstanceUID  # same fresh UID
+
+
 def test_export_dicom_per_slice(tmp_path):
     ph = make_phantom(shape=(16, 16, 4), seed=0)
     ds = dcm.Dataset()

@@ -120,3 +120,23 @@ class VentConfig:
 
 
 DEFAULT_CONFIG = VentConfig()
+
+# Study-type presets: the reference GUI's GenXe / Mepo / Clinical IRB columns
+# (Vent_Analysis.py:655-676) become config presets here.  All three share the
+# scientific constants today; they exist so per-study overrides (e.g. a
+# different defect threshold for a trial) are one-line config changes rather
+# than GUI edits, and so the CLI can pin provenance in exported metadata.
+STUDY_PRESETS = {
+    "genxe": DEFAULT_CONFIG,
+    "mepo": DEFAULT_CONFIG,
+    "clinical": DEFAULT_CONFIG,
+}
+
+
+def preset(name: str) -> VentConfig:
+    try:
+        return STUDY_PRESETS[name.lower()]
+    except KeyError:
+        raise KeyError(
+            f"unknown study preset {name!r}; available: {sorted(STUDY_PRESETS)}"
+        ) from None
