@@ -87,6 +87,22 @@ def test_halo_sliced_ci_matches_unsharded(rng):
     assert int(nsat_s) == int(nsat_u)
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from ventjax.models import (create_train_state, load_checkpoint,
+                                save_checkpoint)
+
+    _, _, state = create_train_state(jax.random.PRNGKey(0), shape=(16, 16),
+                                     base=2)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, state)
+    back = load_checkpoint(path)
+    flat_a = jax.tree_util.tree_leaves(state.params)
+    flat_b = jax.tree_util.tree_leaves(back.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(flat_a, flat_b))
+    assert int(back.step) == int(state.step)
+
+
 def test_profiling_utils():
     from ventjax.utils.profiling import stage, sync, timed
 

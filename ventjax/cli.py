@@ -77,12 +77,14 @@ def _jsonable(x):
 
 def _cmd_cohort(args) -> int:
     from ventjax.pipeline.cohort import load_manifest, run_cohort
+    from ventjax.utils.profiling import trace
 
     manifest = load_manifest(args.manifest)
-    results = run_cohort(
-        manifest, args.out, batch_size=args.batch,
-        use_mesh=not args.no_mesh, resume=not args.fresh,
-    )
+    with trace(args.profile_dir):
+        results = run_cohort(
+            manifest, args.out, batch_size=args.batch,
+            use_mesh=not args.no_mesh, resume=not args.fresh,
+        )
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
                       "out": args.out}))
@@ -161,6 +163,8 @@ def main(argv=None) -> int:
     c.add_argument("--batch", type=int, default=None)
     c.add_argument("--no-mesh", action="store_true")
     c.add_argument("--fresh", action="store_true", help="ignore done-markers")
+    c.add_argument("--profile-dir", default=None,
+                   help="emit a jax.profiler trace (TensorBoard/Perfetto)")
     c.set_defaults(fn=_cmd_cohort)
 
     t = sub.add_parser("twix", help="reconstruct a Siemens twix .dat")

@@ -4,6 +4,8 @@ from ventjax.models.segmentation import (
     create_train_state,
     train_step,
     predict_mask,
+    save_checkpoint,
+    load_checkpoint,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "create_train_state",
     "train_step",
     "predict_mask",
+    "save_checkpoint",
+    "load_checkpoint",
 ]

@@ -130,6 +130,24 @@ def make_sharded_train_step(model, tx, mesh):
     )
 
 
+def save_checkpoint(path: str, state: TrainState) -> None:
+    """Persist training state with orbax (SURVEY.md §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
+                      "step": state.step}, force=True)
+
+
+def load_checkpoint(path: str) -> TrainState:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(path)
+    return TrainState(params=tree["params"], opt_state=tree["opt_state"],
+                      step=jnp.asarray(tree["step"]))
+
+
 def predict_mask(model, params, proton: jnp.ndarray, thresh: float = 0.5):
     """[H,W,D] or [N,H,W,D] proton -> binary mask of the same shape."""
     single = proton.ndim == 3

@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -165,13 +165,40 @@ def _threshold_tables(geom: CIPairwiseGeometry, K: int):
     return jnp.asarray(thr), jnp.asarray(j_lo), j_cap
 
 
+def _alias_min_d2(vc, witnesses, geom: CIPairwiseGeometry) -> jnp.ndarray:
+    """[centers, witnesses] min-over-alias squared distances (inf = no LUT
+    offset relates the pair)."""
+    vi, vj, vk = vc
+    wi, wj, wk = witnesses
+    s0, s1, s2 = geom.scale
+    inf = jnp.float32(jnp.inf)
+    dmin2 = jnp.full((vi.shape[0], wi.shape[0]), inf)
+    for (p, q, s) in _alias_combos(geom):
+        oi = (wi[None, :] - vi[:, None]) + p
+        oj = (wj[None, :] - vj[:, None]) + q
+        ok_ = (wk[None, :] - vk[:, None]) + s
+        inbox = (
+            (jnp.abs(oi) <= geom.rmax)
+            & (jnp.abs(oj) <= geom.rmax)
+            & (jnp.abs(ok_) <= geom.rmax)
+        )
+        fx = oi.astype(jnp.float32) * s0
+        fy = oj.astype(jnp.float32) * s1
+        fz = ok_.astype(jnp.float32) * s2
+        d2 = fx * fx + fy * fy + fz * fz
+        hit = inbox & (d2 <= geom.r2_last)
+        dmin2 = jnp.minimum(dmin2, jnp.where(hit, d2, inf))
+    return dmin2
+
+
 def ci_pairwise_balls(
     centers: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     witnesses: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
     geom: CIPairwiseGeometry,
     row_chunk: int = 1024,
 ) -> jnp.ndarray:
-    """First-failing-ball index per center voxel (M-1 sentinel = saturated).
+    """First-failing-ball index per center voxel (M-1 sentinel = saturated),
+    by full order statistics (row sort vs static thresholds).
 
     centers/witnesses are padded int32 coordinate triples; padded slots use
     far-away sentinel coordinates (|coord| huge) so they miss every box
@@ -183,31 +210,10 @@ def ci_pairwise_balls(
     K = vi_all.shape[0]
     nw = wi.shape[0]
     M = geom.n_balls
-    s0, s1, s2 = geom.scale
     thr, j_lo, j_cap = _threshold_tables(geom, nw)
-    combos = _alias_combos(geom)
-    rmax = geom.rmax
-    r2_last = geom.r2_last
 
     def row_block(vc):
-        vi, vj, vk = vc
-        inf = jnp.float32(jnp.inf)
-        dmin2 = jnp.full((vi.shape[0], nw), inf)
-        for (p, q, s) in combos:
-            oi = (wi[None, :] - vi[:, None]) + p
-            oj = (wj[None, :] - vj[:, None]) + q
-            ok_ = (wk[None, :] - vk[:, None]) + s
-            inbox = (
-                (jnp.abs(oi) <= rmax)
-                & (jnp.abs(oj) <= rmax)
-                & (jnp.abs(ok_) <= rmax)
-            )
-            fx = oi.astype(jnp.float32) * s0
-            fy = oj.astype(jnp.float32) * s1
-            fz = ok_.astype(jnp.float32) * s2
-            d2 = fx * fx + fy * fy + fz * fz
-            hit = inbox & (d2 <= r2_last)
-            dmin2 = jnp.minimum(dmin2, jnp.where(hit, d2, inf))
+        dmin2 = _alias_min_d2(vc, (wi, wj, wk), geom)
         srt = jnp.sort(dmin2, axis=1)
         failing = srt > thr[None, :]
         any_f = jnp.any(failing, axis=1)
@@ -217,7 +223,9 @@ def ci_pairwise_balls(
 
     n_chunks = -(-K // row_chunk)
     kpad = n_chunks * row_chunk
-    pad = lambda x: jnp.full((kpad,), 0, x.dtype).at[:K].set(x)
+    # Chunk-pad rows get sentinel coordinates so they resolve in stage 1
+    # (zero counts -> immediate fail) and never trigger the sort fallback.
+    pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
     return jax.lax.map(
         row_block,
         (
@@ -233,13 +241,23 @@ def calculate_ci_pairwise(
     geom: CIPairwiseGeometry,
     max_defect_voxels: int = 8192,
     row_chunk: int = 1024,
+    head_balls: int = 96,
+    tail_k: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """CI map via the pairwise engine; returns (ci_map, n_saturated, overflow)."""
+    """CI map via the pairwise engine; returns (ci_map, n_saturated, overflow).
+
+    Two exact phases.  Phase A checks the first `head_balls` balls directly
+    (fail_j <=> count(d^2 <= r_j^2) < T_j), as fused 32-cutoff compare-reduce
+    blocks — no sort, and ball 96 already corresponds to CI ~17mm, past the
+    crossing of essentially every real defect voxel.  Rows with no head
+    crossing are compacted to `tail_k` lanes and finished by the full
+    order-statistics engine.  Compaction overflow is reported in the
+    overflow flag (excess rows saturate — never silently wrong).
+    """
     H, W, D = geom.shape
     K = max_defect_voxels
     M = geom.n_balls
     d01 = defect != 0
-    s0, s1, s2 = geom.scale
 
     flat_c = d01.reshape(-1)
     n_def = jnp.sum(flat_c)
@@ -250,9 +268,54 @@ def calculate_ci_pairwise(
     jj = jnp.where(valid, ((cidx // D) % W).astype(jnp.int32), -SENT)
     kk = jnp.where(valid, (cidx % D).astype(jnp.int32), SENT)
 
-    jballs = ci_pairwise_balls(
-        (ii, jj, kk), (ii, jj, kk), geom, row_chunk=row_chunk
+    ns = min(int(head_balls), M - 1)
+    r2 = jnp.asarray(geom.r2_32)
+    t_head = jnp.asarray(((geom.rows_ball + 1) // 2)[:ns].astype(np.float32))
+
+    def head_block(vc):
+        dmin2 = _alias_min_d2(vc, (ii, jj, kk), geom)
+        fails = []
+        # 32-cutoff blocks keep each compare-reduce inside XLA's fusion
+        # budget (wider blocks materialize the [rows, nw, cuts] tensor).
+        for a in range(0, ns, 32):
+            b = min(a + 32, ns)
+            counts = jnp.sum(
+                (dmin2[:, :, None] <= r2[a:b][None, None, :]).astype(
+                    jnp.float32),
+                axis=1,
+            )
+            fails.append(counts < t_head[a:b][None, :])
+        fail_head = jnp.concatenate(fails, axis=1)
+        return jnp.any(fail_head, axis=1), jnp.argmax(fail_head, axis=1)
+
+    n_chunks = -(-K // row_chunk)
+    kpad = n_chunks * row_chunk
+    pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
+    resolved, j_head = jax.lax.map(
+        head_block,
+        (
+            pad(ii).reshape(n_chunks, row_chunk),
+            pad(jj).reshape(n_chunks, row_chunk),
+            pad(kk).reshape(n_chunks, row_chunk),
+        ),
     )
+    resolved = resolved.reshape(-1)[:K]
+    j_head = j_head.reshape(-1)[:K].astype(jnp.int32)
+    jballs = jnp.where(resolved, j_head, M - 1)
+
+    # Phase B: compact unresolved rows (stable sort: unresolved first).
+    K2 = int(tail_k) if tail_k is not None else max(256, K // 8)
+    K2 = min(K2, K)
+    sel = jnp.argsort(resolved, stable=True)[:K2]
+    live = ~resolved[sel]
+    tail_coords = tuple(
+        jnp.where(live, c[sel], SENT) for c in (ii, jj, kk)
+    )
+    j_tail = ci_pairwise_balls(
+        tail_coords, (ii, jj, kk), geom, row_chunk=min(K2, 512)
+    )
+    jballs = jballs.at[sel].set(jnp.where(live, j_tail, jballs[sel]))
+    tail_overflow = jnp.sum(~resolved & valid) > K2
 
     saturated = (jballs >= M - 1) & valid
     cv = jnp.asarray(geom.radii32)[jballs] * geom.min_vox
@@ -260,4 +323,8 @@ def calculate_ci_pairwise(
     ci_flat = jnp.zeros(H * W * D, jnp.float32)
     scatter_idx = jnp.where(valid, cidx, H * W * D)
     ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
-    return ci_flat.reshape(H, W, D), jnp.sum(saturated), n_def > K
+    return (
+        ci_flat.reshape(H, W, D),
+        jnp.sum(saturated),
+        (n_def > K) | tail_overflow,
+    )

@@ -15,9 +15,12 @@ batch runner (SURVEY.md §5 checkpoint/resume):
 from __future__ import annotations
 
 import json
+import logging
 import os
 from concurrent.futures import ThreadPoolExecutor
-from typing import Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
+
+log = logging.getLogger("ventjax.cohort")
 
 import numpy as np
 import jax
@@ -88,8 +91,13 @@ def run_cohort(
     use_mesh: bool = True,
     resume: bool = True,
     decode_workers: int = 8,
+    progress: Optional[Callable[[str, int, int], None]] = None,
 ) -> List[Dict]:
-    """Analyze every subject in the manifest; returns per-subject metrics."""
+    """Analyze every subject in the manifest; returns per-subject metrics.
+
+    `progress(stage, done, total)` is called after decode and after each
+    device batch (the observability hook, SURVEY.md §5 metrics/logging).
+    """
     os.makedirs(out_dir, exist_ok=True)
     todo = []
     results: List[Dict] = []
@@ -106,8 +114,11 @@ def run_cohort(
 
     # Overlapped host-side decode (the reference's per-slice dcmread loop is
     # its ingest hot spot, SURVEY.md §3.1) feeding device batches.
+    log.info("decoding %d subjects (%d workers)", len(todo), decode_workers)
     with ThreadPoolExecutor(max_workers=decode_workers) as pool:
         decoded = list(pool.map(_decode_subject, todo))
+    if progress:
+        progress("decode", len(decoded), len(todo))
 
     ok_idx = [i for i, d in enumerate(decoded) if d[0] is not None]
     if ok_idx:
@@ -145,6 +156,9 @@ def run_cohort(
                     jax.tree_util.tree_map(lambda x: x[lane], res),
                     results,
                 )
+            log.info("analyzed %d/%d subjects", start + len(chunk), len(ok_idx))
+            if progress:
+                progress("analyze", start + len(chunk), len(ok_idx))
 
     for i, d in enumerate(decoded):
         if d[0] is None:
