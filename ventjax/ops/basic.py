@@ -81,6 +81,35 @@ def masked_kth_smallest(x: jnp.ndarray, m: jnp.ndarray, k: jnp.ndarray) -> jnp.n
     return _key_to_float(hi)
 
 
+def masked_kth_smallest_multi(
+    x: jnp.ndarray, m: jnp.ndarray, ks: jnp.ndarray
+) -> jnp.ndarray:
+    """masked_kth_smallest for a vector of ranks in one shared-read search.
+
+    All ranks binary-search the same key array simultaneously: each of the
+    32 steps reads the keys once and evaluates len(ks) counts, instead of
+    len(ks) independent 32-pass searches.
+    """
+    keys = _order_key(x).reshape(-1)
+    w = (m.reshape(-1) > 0)
+    nk = ks.shape[0]
+
+    def body(_, bounds):
+        lo, hi = bounds  # [nk] each
+        mid = lo + (hi - lo) // 2
+        cnt = jnp.sum(
+            w[:, None] & (keys[:, None] <= mid[None, :]), axis=0
+        )
+        take = cnt <= ks
+        return jnp.where(take, mid, lo), jnp.where(take, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, 32, body,
+        (jnp.zeros(nk, jnp.uint32), jnp.full(nk, 0xFFFFFFFF, jnp.uint32)),
+    )
+    return _key_to_float(hi)
+
+
 def masked_sorted_index(x: jnp.ndarray, m: jnp.ndarray, frac: float) -> jnp.ndarray:
     """sorted(x[m>0])[int(count * frac)] with static shapes.
 

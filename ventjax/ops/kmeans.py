@@ -20,8 +20,9 @@ import jax.numpy as jnp
 
 def _masked_quantiles(vals: jnp.ndarray, m: jnp.ndarray, k: int) -> jnp.ndarray:
     """np.quantile(vals[m>0], (arange(k)+0.5)/k) with static shapes
-    (linear interpolation convention), via sort-free bitspace selection."""
-    from ventjax.ops.basic import masked_kth_smallest
+    (linear interpolation convention), via one shared-read multi-rank
+    bitspace selection."""
+    from ventjax.ops.basic import masked_kth_smallest_multi
 
     n = jnp.sum(m > 0)
     qs = (jnp.arange(k) + 0.5) / k
@@ -29,8 +30,8 @@ def _masked_quantiles(vals: jnp.ndarray, m: jnp.ndarray, k: int) -> jnp.ndarray:
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.ceil(pos).astype(jnp.int32)
     f = (pos - lo).astype(vals.dtype)
-    sel = jax.vmap(lambda i: masked_kth_smallest(vals, m, i))
-    return (1 - f) * sel(lo) + f * sel(hi)
+    sel = masked_kth_smallest_multi(vals, m, jnp.concatenate([lo, hi]))
+    return (1 - f) * sel[:k] + f * sel[k:]
 
 
 def vdp_kmeans(
