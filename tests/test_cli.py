@@ -20,7 +20,7 @@ def test_cli_analyze_mepo_grammar(study_root, tmp_path, capsys):
     out = str(tmp_path / "out")
     rc = main([
         "analyze", "--xenon", f"{study_root}/xenon.dcm",
-        "--mask", f"{study_root}/mask", "--out", out,
+        "--mask", f"{study_root}/mask", "--out", out, "--max-defect", "1024",
         "--irb", "mepo", "--id", "0039", "--visit", "1",
         "--treatment", "preAlb", "--user", "tester",
     ])
@@ -44,7 +44,8 @@ def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys
     mpath = str(tmp_path / "m.json")
     json.dump(manifest, open(mpath, "w"))
     out = str(tmp_path / "cohort")
-    rc = main(["cohort", "--manifest", mpath, "--out", out, "--batch", "2"])
+    rc = main(["cohort", "--manifest", mpath, "--out", out, "--batch", "2",
+               "--max-defect", "1024"])
     assert rc == 0
     report = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert report["subjects"] == 3 and report["valid"] == 2

@@ -25,10 +25,15 @@ import sys
 
 def _cmd_analyze(args) -> int:
     from ventjax.compat import Vent_Analysis
+    from ventjax.config import DEFAULT_CONFIG
     from ventjax.report.export import study_filename
 
+    cfg = DEFAULT_CONFIG
+    if args.max_defect:
+        cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
     v = Vent_Analysis(
-        xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton
+        xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton,
+        config=cfg,
     )
     v.calculate_VDP(thresh=args.thresh)
     if not args.no_ci:
@@ -79,10 +84,15 @@ def _cmd_cohort(args) -> int:
     from ventjax.pipeline.cohort import load_manifest, run_cohort
     from ventjax.utils.profiling import trace
 
+    from ventjax.config import DEFAULT_CONFIG
+
+    cfg = DEFAULT_CONFIG
+    if args.max_defect:
+        cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
     manifest = load_manifest(args.manifest)
     with trace(args.profile_dir):
         results = run_cohort(
-            manifest, args.out, batch_size=args.batch,
+            manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
         )
     ok = sum(1 for r in results if r.get("valid"))
@@ -155,6 +165,8 @@ def main(argv=None) -> int:
     a.add_argument("--filename", default=None)
     a.add_argument("--archive", default=None,
                    help="optional second pickle copy (the GUI's archive box)")
+    a.add_argument("--max-defect", type=int, default=None,
+                   help="static bound on defect voxels for CI (default 8192)")
     a.set_defaults(fn=_cmd_analyze)
 
     c = sub.add_parser("cohort", help="batched cohort run from a manifest")
@@ -165,6 +177,8 @@ def main(argv=None) -> int:
     c.add_argument("--fresh", action="store_true", help="ignore done-markers")
     c.add_argument("--profile-dir", default=None,
                    help="emit a jax.profiler trace (TensorBoard/Perfetto)")
+    c.add_argument("--max-defect", type=int, default=None,
+                   help="static bound on defect voxels for CI (default 8192)")
     c.set_defaults(fn=_cmd_cohort)
 
     t = sub.add_parser("twix", help="reconstruct a Siemens twix .dat")

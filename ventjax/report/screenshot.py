@@ -72,9 +72,10 @@ def screenshot(
 
     def stack_rows(chan):
         red = chan == 0
-        green = chan == 1
         ci_c = n4n * (ci == 0) + ci_rgb[..., chan] * (ci > 0)
-        border_row = n4n * (~border) + (1.0 if green else 0.0) * border
+        # reference border weights: R=0, G=1, B=1 (cyan outline),
+        # Vent_Analysis.py:487-489
+        border_row = n4n * (~border) + (0.0 if red else 1.0) * border
         defect_row = n4n * (~dA) + (dA if red else 0)
         return np.concatenate(
             (blank, blank, prot, hpn, border_row, defect_row, ci_c), axis=2
