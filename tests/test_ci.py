@@ -131,6 +131,29 @@ def test_ci_pad_mode_interior_equals_wrap():
     assert np.array_equal(ci_w, ci_p)
 
 
+def test_ci_engine_fallback_for_unprovable_geometry(rng):
+    """Voxel sizes whose shell boundaries collide within float32 make the
+    pairwise engine refuse at build time; build_geometry must fall back to
+    the (always exact) gather ladder and produce oracle-identical maps."""
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.ops.ci_pairwise import (
+        CIPairwiseGeometry, build_ci_pairwise_geometry,
+    )
+    from ventjax.pipeline.analyze import build_geometry
+
+    vox = (3.125, 3.125, 15.0)
+    with pytest.raises(ValueError):
+        build_ci_pairwise_geometry(vox, (32, 32, 6), 20, "wrap")
+    cfg = DEFAULT_CONFIG.replace(ci_rmax=20)
+    geom = build_geometry(vox, (32, 32, 6), cfg)
+    assert not isinstance(geom, CIPairwiseGeometry)
+    defect = (rng.random((32, 32, 6)) > 0.95).astype(np.float32)
+    ci, nsat, ovf, sovf = calculate_ci_staged(jnp.asarray(defect), geom, 512)
+    want = calculate_ci_oracle(defect, vox=vox, rmax=20, saturate=True)
+    assert not bool(ovf) and int(sovf) == 0
+    assert np.abs(np.asarray(ci) - want).max() == 0.0
+
+
 def test_ci_saturation_counted():
     """An all-defect volume under wrap aliasing never crosses below the 0.5
     fraction (every aliased index is defect), so every voxel saturates —

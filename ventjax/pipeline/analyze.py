@@ -81,9 +81,12 @@ def analyze_study(
             defect, geom, c.ci_max_defect_voxels
         )
     else:
-        ci_map, n_saturated, ci_overflow = calculate_ci(
+        from ventjax.ops.ci import calculate_ci_staged
+
+        ci_map, n_saturated, ci_overflow, stage_ovf = calculate_ci_staged(
             defect, geom, c.ci_max_defect_voxels
         )
+        ci_overflow = ci_overflow | (stage_ovf > 0)
 
     # Subject CI: sorted CI over defect voxels at floor-index percentile
     # (Vent_Analysis.py:268-270).  NaN when there are no defect voxels
@@ -138,11 +141,21 @@ def build_geometry(
     shape: Tuple[int, int, int],
     config: VentConfig = DEFAULT_CONFIG,
 ):
-    """CI geometry for the configured engine (host-cached per vox/shape)."""
+    """CI geometry for the configured engine (host-cached per vox/shape).
+
+    The pairwise engine proves its float32 distance binning exact for the
+    geometry at build time; geometries that fail the proof (rare voxel-size
+    combinations whose shell boundaries collide within float32 resolution)
+    fall back to the gather-ladder engine automatically — slower, same
+    results.
+    """
     if config.ci_engine == "pairwise":
-        return build_ci_pairwise_geometry(
-            tuple(vox), tuple(shape), config.ci_rmax, config.ci_border_mode
-        )
+        try:
+            return build_ci_pairwise_geometry(
+                tuple(vox), tuple(shape), config.ci_rmax, config.ci_border_mode
+            )
+        except ValueError:
+            pass
     return build_ci_geometry(
         tuple(vox), tuple(shape), config.ci_rmax, config.ci_border_mode
     )
