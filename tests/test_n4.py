@@ -51,6 +51,20 @@ def test_n4_removes_planted_bias_device(phantom_small):
     assert np.corrcoef(tb, eb)[0, 1] > 0.85
 
 
+def test_n4_mask_pad_overflow_flagged(phantom_small):
+    ph = phantom_small
+    _, ovf = n4_bias_correction(
+        jnp.asarray(ph.hp), jnp.asarray(ph.mask),
+        mask_pad=64, return_overflow=True,
+    )
+    assert bool(ovf)
+    _, ok = n4_bias_correction(
+        jnp.asarray(ph.hp), jnp.asarray(ph.mask),
+        mask_pad=16384, return_overflow=True,
+    )
+    assert not bool(ok)
+
+
 def test_n4_identity_on_unbiased_flat_image(rng):
     """A flat image has no bias: the field should be ~constant."""
     img = np.full((32, 32, 4), 100.0, np.float32)

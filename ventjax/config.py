@@ -95,8 +95,10 @@ class VentConfig:
     # i.e. a single cubic B-spline mesh element).
     n4_control_points: int = 4
     # Static bound on masked-voxel count for the compacted N4 iteration
-    # (lungs at 128x128x16/1.5mm are ~6-30k voxels); overflow is flagged.
-    n4_mask_pad: int = 32768
+    # (lungs at 128x128x16/1.5mm reach ~50k voxels); overflow is flagged in
+    # StudyMetrics.n4_overflow and means excess voxels were ignored by the
+    # fit — raise the pad if it ever fires.
+    n4_mask_pad: int = 65536
 
     # ---- Report / screenshot (Vent_Analysis.py:458-520) ----------------------
     # Parula LUT index = int(CI * parula_scale_num / parula_scale_den)

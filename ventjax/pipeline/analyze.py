@@ -56,7 +56,7 @@ def analyze_study(
     safe_mask = jnp.where(valid, mask, jnp.ones_like(mask))
 
     snr = calculate_snr(hp, safe_mask, c.snr_fov_buffer)
-    n4 = n4_bias_correction(
+    n4, n4_overflow = n4_bias_correction(
         hp,
         safe_mask,
         fitting_levels=c.n4_fitting_levels,
@@ -67,6 +67,7 @@ def analyze_study(
         wiener_noise=c.n4_wiener_noise,
         control_points=c.n4_control_points,
         mask_pad=c.n4_mask_pad,
+        return_overflow=True,
     )
     defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
     defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
@@ -113,6 +114,7 @@ def analyze_study(
         ci=nanify(ci_val),
         ci_saturated=n_saturated,
         ci_overflow=ci_overflow,
+        n4_overflow=n4_overflow,
         valid=valid,
     )
     return VentResult(

@@ -131,6 +131,11 @@ def run_cohort(
             )
         shape = next(iter(shapes))
         vox = next(iter(voxes))
+        # Data-driven N4 pad bucket (8k granularity, never above the
+        # configured ceiling); overflow is still flagged per subject.
+        max_mask = max(int((decoded[i][1] > 0).sum()) for i in ok_idx)
+        pad = min(config.n4_mask_pad, -(-max_mask // 8192) * 8192)
+        config = config.replace(n4_mask_pad=pad)
         geom = build_geometry(vox, shape, config)
 
         n_dev = len(jax.devices()) if use_mesh else 1

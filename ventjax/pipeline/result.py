@@ -27,6 +27,7 @@ class StudyMetrics:
     ci: jax.Array               # mm (95th pct of CI map over defect voxels)
     ci_saturated: jax.Array     # count of voxels clamped at Rmax
     ci_overflow: jax.Array      # bool: defect voxels exceeded static pad
+    n4_overflow: jax.Array      # bool: masked voxels exceeded the N4 pad
     valid: jax.Array            # bool: subject had a nonempty mask
 
     def as_dict(self) -> dict:
@@ -41,6 +42,7 @@ class StudyMetrics:
             "CI": float(self.ci),
             "CI_saturated_voxels": int(self.ci_saturated),
             "CI_overflow": bool(self.ci_overflow),
+            "N4_overflow": bool(self.n4_overflow),
             "valid": bool(self.valid),
         }
 
