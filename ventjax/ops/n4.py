@@ -142,10 +142,18 @@ def n4_bias_correction(
         bsv = jnp.asarray(bs, dtype)[sc]
         sv = (jnp.asarray(s1, dtype)[hc] * jnp.asarray(s2, dtype)[wc]
               * jnp.asarray(s3, dtype)[sc])
+        # Per-iteration matmul operands live in bf16: at [P, ncp^2] they are
+        # the dominant HBM traffic of every iteration (re-read twice per
+        # step), and the MXU accumulates their products in f32.  The basis
+        # values are in [0,1], so bf16 quantization perturbs the *smooth
+        # fitted field* at ~1e-3 relative — far inside the |dVDP| budget
+        # (validated against the float64 oracle in tests/test_n4.py).
         bo = (bcv[:, :, None] * bsv[:, None, :]).reshape(P, ncp * ncp)
         bo3 = (bcv[:, :, None] ** 3 * bsv[:, None, :] ** 3).reshape(P, ncp * ncp)
         bo2 = (bcv[:, :, None] ** 2 * bsv[:, None, :] ** 2).reshape(P, ncp * ncp)
         brv3 = brv ** 3
+        bo_h = bo.astype(jnp.bfloat16)
+        bo3_h = bo3.astype(jnp.bfloat16)
         hi = jax.lax.Precision.HIGH
 
         den = jnp.einsum(
@@ -153,8 +161,8 @@ def n4_bias_correction(
         )
         phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
 
-        def body(carry, den=den, brv=brv, brv3=brv3, bo=bo, bo3=bo3, sv=sv,
-                 ncp=ncp):
+        def body(carry, den=den, brv=brv, brv3=brv3, bo=bo_h, bo3=bo3_h,
+                 sv=sv, ncp=ncp):
             i, field_v, phi_total, done = carry
             logu = (logv - field_v) * wv
             sharpened = _sharpen_vec(
@@ -164,12 +172,15 @@ def n4_bias_correction(
             # flush sub-normals (CPU denormal emulation is ~100x slower)
             residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
             a_v = residual / jnp.maximum(sv, 1e-30)
-            num = jnp.einsum("pc,pf->cf", a_v[:, None] * brv3, bo3,
-                             precision=hi)
+            num = jnp.einsum(
+                "pc,pf->cf", (a_v[:, None] * brv3).astype(jnp.bfloat16), bo3,
+                preferred_element_type=jnp.float32,
+            )
             phi = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0),
                             0.0)
             # delta_p = sum_c brv[p,c] * (BO @ phi[c,:]^T)[p,c]
-            g = jnp.einsum("pf,cf->pc", bo, phi, precision=hi)
+            g = jnp.einsum("pf,cf->pc", bo, phi.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
             delta = jnp.sum(brv * g, axis=1)
             delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta) * wv
 
