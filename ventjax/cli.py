@@ -35,6 +35,16 @@ def _cmd_analyze(args) -> int:
         xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton,
         config=cfg,
     )
+    if args.denoise is not None:
+        # The reference's roadmap "Denoise Option" (README.md:29), prototyped
+        # with Haar wavelets in its playground script.
+        import jax.numpy as jnp
+        import numpy as np
+        from ventjax.ops.wavelet import denoise_volume
+
+        v.HPvent = np.asarray(denoise_volume(
+            jnp.asarray(np.asarray(v.HPvent, np.float32)), args.denoise
+        ))
     v.calculate_VDP(thresh=args.thresh)
     if not args.no_ci:
         v.calculate_CI()
@@ -167,6 +177,8 @@ def main(argv=None) -> int:
                    help="optional second pickle copy (the GUI's archive box)")
     a.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
+    a.add_argument("--denoise", type=float, default=None, metavar="THRESH",
+                   help="Haar-wavelet denoise the xenon volume first")
     a.set_defaults(fn=_cmd_analyze)
 
     c = sub.add_parser("cohort", help="batched cohort run from a manifest")
