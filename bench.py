@@ -29,7 +29,12 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--shape", type=int, nargs=3, default=(128, 128, 16))
-    p.add_argument("--max-defect", type=int, default=4096)
+    p.add_argument(
+        "--max-defect", type=int, default=0,
+        help="static CI defect-voxel pad; 0 = auto (sizing pass picks the "
+        "power-of-two bucket covering the cohort's actual defect counts, "
+        "exactly like the adaptive cohort driver's steady state)",
+    )
     p.add_argument("--ci-chunk", type=int, default=64)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
@@ -54,18 +59,41 @@ def main() -> None:
     # exceeds it, so this is a safe data-driven sizing, not a benchmark trick.
     max_mask = int((mask > 0).sum(axis=(1, 2, 3)).max())
     n4_pad = min(int(np.prod(shape)), -(-max_mask // 8192) * 8192)
-    cfg = DEFAULT_CONFIG.replace(
-        ci_max_defect_voxels=args.max_defect, n4_mask_pad=n4_pad
-    )
-    geom = build_geometry(vox, shape, cfg)
     hp = jnp.asarray(hp)
     mask = jnp.asarray(mask)
+
+    max_defect = args.max_defect
+    if max_defect <= 0:
+        # Sizing pass (not timed): run once at a roomy pad, read the actual
+        # defect counts, and pick the power-of-two bucket that covers them —
+        # the same steady state the adaptive cohort driver reaches
+        # (ventjax/pipeline/cohort.py).  Overflow is asserted clean below,
+        # so this is data-driven sizing, never a silent truncation.
+        cfg0 = DEFAULT_CONFIG.replace(
+            ci_max_defect_voxels=8192, n4_mask_pad=n4_pad
+        )
+        geom0 = build_geometry(vox, shape, cfg0)
+        res0 = analyze_cohort(hp, mask, geom0, cfg0)
+        assert not bool(np.asarray(res0.metrics.ci_overflow).any())
+        n_def = int(np.asarray(res0.defect).sum(axis=(1, 2, 3)).max())
+        max_defect = max(256, 1 << int(np.ceil(np.log2(max(n_def, 1)))))
+
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=max_defect, n4_mask_pad=n4_pad
+    )
+    geom = build_geometry(vox, shape, cfg)
 
     fn = jax.jit(lambda h, m: analyze_cohort(h, m, geom, cfg))
 
     # warmup / compile.  NOTE: block_until_ready is unreliable on the
     # experimental axon platform — force a host transfer to synchronize.
     res = fn(hp, mask)
+    assert not bool(np.asarray(res.metrics.ci_overflow).any()), (
+        "CI bucket overflowed — benchmark invalid"
+    )
+    assert not bool(np.asarray(res.metrics.n4_overflow).any()), (
+        "N4 mask pad overflowed — benchmark invalid"
+    )
     np.asarray(res.metrics.vdp)
 
     t0 = time.perf_counter()

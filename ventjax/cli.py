@@ -25,16 +25,70 @@ import sys
 
 def _cmd_analyze(args) -> int:
     from ventjax.compat import Vent_Analysis
-    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.config import DEFAULT_CONFIG, preset
     from ventjax.report.export import study_filename
 
+    if args.deterministic:
+        from ventjax.utils.profiling import enable_deterministic
+
+        enable_deterministic()
+
+    study = None
     cfg = DEFAULT_CONFIG
+    if args.irb:
+        # Per-study schema: validates the treatment/visit arms against the
+        # reference GUI's columns (Vent_Analysis.py:659-672) and supplies
+        # the study's VentConfig.
+        study = preset(args.irb)
+        study.validate(treatment=args.treatment, visit=args.visit)
+        cfg = study.config
     if args.max_defect:
         cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
+
+    if args.mask is None and not args.auto_mask:
+        print("error: provide --mask FOLDER or --auto-mask (with --seg-ckpt)",
+              file=sys.stderr)
+        return 2
+    mask_array = None
+    if args.auto_mask:
+        if args.proton is None:
+            print("error: --auto-mask needs --proton", file=sys.stderr)
+            return 2
+        if not args.seg_ckpt:
+            print("error: --auto-mask needs --seg-ckpt (train one with "
+                  "`python -m ventjax train-seg`)", file=sys.stderr)
+            return 2
+        import numpy as np
+        import jax.numpy as jnp
+        from ventjax.io.dicom import open_single_dicom
+        from ventjax.models.segmentation import (
+            SegUNet, load_checkpoint, predict_mask,
+        )
+
+        _, proton_arr = open_single_dicom(args.proton)
+        model = SegUNet(base=args.seg_base)
+        state = load_checkpoint(os.path.abspath(args.seg_ckpt))
+        mask_array = np.asarray(predict_mask(
+            model, state.params, jnp.asarray(proton_arr.astype(np.float32))
+        ))
+
     v = Vent_Analysis(
         xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton,
-        config=cfg,
+        mask_array=mask_array, config=cfg,
     )
+    # Patient-info overrides: the GUI's edit buttons
+    # (Vent_Analysis.py:819-838, 988-994) as flags.
+    for flag, key in (
+        (args.set_patient_name, "PatientName"),
+        (args.set_age, "PatientAge"),
+        (args.set_sex, "PatientSex"),
+        (args.set_dob, "PatientBirthDate"),
+        (args.set_study_date, "StudyDate"),
+        (args.set_study_time, "StudyTime"),
+        (args.disease, "Disease"),
+    ):
+        if flag is not None:
+            v.metadata[key] = flag
     if args.denoise is not None:
         # The reference's roadmap "Denoise Option" (README.md:29), prototyped
         # with Haar wavelets in its playground script.
@@ -57,6 +111,7 @@ def _cmd_analyze(args) -> int:
         v.metadata["IRB"] = args.irb
         v.metadata["treatment"] = args.treatment or "none"
         v.metadata["visit"] = args.visit or ""
+        v.metadata[study.id_field] = args.id
         file_name = study_filename(
             args.irb, v.metadata,
             genxe_id=args.id, mepo_id=args.id, clinical_id=args.id,
@@ -96,6 +151,11 @@ def _cmd_cohort(args) -> int:
 
     from ventjax.config import DEFAULT_CONFIG
 
+    if args.deterministic:
+        from ventjax.utils.profiling import enable_deterministic
+
+        enable_deterministic()
+
     cfg = DEFAULT_CONFIG
     if args.max_defect:
         cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
@@ -115,6 +175,38 @@ def _cmd_cohort(args) -> int:
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
         w.writerows(results)
+    return 0
+
+
+def _cmd_train_seg(args) -> int:
+    """Train the proton->mask U-Net on synthetic phantoms (host data, jitted
+    device steps) and save an orbax checkpoint usable by analyze --auto-mask."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ventjax.io.phantom import make_cohort
+    from ventjax.models.segmentation import (
+        create_train_state, save_checkpoint, train_step,
+    )
+
+    shape = tuple(args.shape)
+    model, tx, state = create_train_state(
+        jax.random.PRNGKey(args.seed), shape=shape[:2], base=args.base,
+        learning_rate=args.lr,
+    )
+    step = jax.jit(lambda s, p, m: train_step(model, tx, s, p, m))
+    loss = float("nan")
+    for i in range(args.steps):
+        _, mask, proton = make_cohort(
+            args.batch, shape=shape, seed=args.seed + 1 + i
+        )
+        state, loss_t = step(state, jnp.asarray(proton), jnp.asarray(mask))
+        if (i + 1) % 25 == 0 or i == 0:
+            loss = float(np.asarray(loss_t))
+            print(f"step {i + 1}/{args.steps}: loss {loss:.4f}", flush=True)
+    save_checkpoint(os.path.abspath(args.out), state)
+    print(json.dumps({"checkpoint": os.path.abspath(args.out),
+                      "steps": args.steps, "final_loss": loss}))
     return 0
 
 
@@ -138,16 +230,17 @@ def _cmd_twix(args) -> int:
 
 
 def _cmd_info(args) -> int:
+    import dataclasses
+
     import jax
     import ventjax
+    from ventjax.config import DEFAULT_CONFIG
 
     print(json.dumps({
         "ventjax": ventjax.__version__,
         "jax": jax.__version__,
         "devices": [str(d) for d in jax.devices()],
-        "default_config": {
-            "vdp_thresh": 0.6, "ci_rmax": 50, "ci_engine": "pairwise",
-        },
+        "default_config": dataclasses.asdict(DEFAULT_CONFIG),
     }, indent=2))
     return 0
 
@@ -158,7 +251,7 @@ def main(argv=None) -> int:
 
     a = sub.add_parser("analyze", help="analyze one study and export reports")
     a.add_argument("--xenon", required=True)
-    a.add_argument("--mask", required=True)
+    a.add_argument("--mask", default=None)
     a.add_argument("--proton", default=None)
     a.add_argument("--out", required=True)
     a.add_argument("--thresh", type=float, default=0.6)
@@ -172,6 +265,24 @@ def main(argv=None) -> int:
     a.add_argument("--fev1", default=None)
     a.add_argument("--fvc", default=None)
     a.add_argument("--notes", default=None)
+    a.add_argument("--disease", default=None,
+                   help="Disease metadata (GUI radio, Vent_Analysis.py:660)")
+    a.add_argument("--set-patient-name", default=None,
+                   help="override PatientName (GUI edit button)")
+    a.add_argument("--set-age", default=None, help="override PatientAge")
+    a.add_argument("--set-sex", default=None, help="override PatientSex")
+    a.add_argument("--set-dob", default=None, help="override PatientBirthDate")
+    a.add_argument("--set-study-date", default=None, help="override StudyDate")
+    a.add_argument("--set-study-time", default=None, help="override StudyTime")
+    a.add_argument("--auto-mask", action="store_true",
+                   help="predict the lung mask from --proton with the U-Net "
+                   "(no --mask folder needed)")
+    a.add_argument("--seg-ckpt", default=None,
+                   help="orbax checkpoint for --auto-mask (see train-seg)")
+    a.add_argument("--seg-base", type=int, default=16,
+                   help="U-Net base width the checkpoint was trained with")
+    a.add_argument("--deterministic", action="store_true",
+                   help="force deterministic XLA reductions")
     a.add_argument("--filename", default=None)
     a.add_argument("--archive", default=None,
                    help="optional second pickle copy (the GUI's archive box)")
@@ -180,6 +291,20 @@ def main(argv=None) -> int:
     a.add_argument("--denoise", type=float, default=None, metavar="THRESH",
                    help="Haar-wavelet denoise the xenon volume first")
     a.set_defaults(fn=_cmd_analyze)
+
+    ts = sub.add_parser(
+        "train-seg",
+        help="train the proton->mask U-Net on synthetic phantoms and save "
+        "an orbax checkpoint for analyze --auto-mask",
+    )
+    ts.add_argument("--out", required=True, help="checkpoint directory")
+    ts.add_argument("--steps", type=int, default=200)
+    ts.add_argument("--batch", type=int, default=8)
+    ts.add_argument("--shape", type=int, nargs=3, default=(128, 128, 16))
+    ts.add_argument("--base", type=int, default=16)
+    ts.add_argument("--seed", type=int, default=0)
+    ts.add_argument("--lr", type=float, default=1e-3)
+    ts.set_defaults(fn=_cmd_train_seg)
 
     c = sub.add_parser("cohort", help="batched cohort run from a manifest")
     c.add_argument("--manifest", required=True)
@@ -191,6 +316,8 @@ def main(argv=None) -> int:
                    help="emit a jax.profiler trace (TensorBoard/Perfetto)")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
+    c.add_argument("--deterministic", action="store_true",
+                   help="force deterministic XLA reductions")
     c.set_defaults(fn=_cmd_cohort)
 
     t = sub.add_parser("twix", help="reconstruct a Siemens twix .dat")

@@ -123,19 +123,76 @@ class VentConfig:
 
 DEFAULT_CONFIG = VentConfig()
 
-# Study-type presets: the reference GUI's GenXe / Mepo / Clinical IRB columns
-# (Vent_Analysis.py:655-676) become config presets here.  All three share the
-# scientific constants today; they exist so per-study overrides (e.g. a
-# different defect threshold for a trial) are one-line config changes rather
-# than GUI edits, and so the CLI can pin provenance in exported metadata.
+
+@dataclasses.dataclass(frozen=True)
+class StudyPreset:
+    """One IRB study type: the reference GUI's GenXe / Mepo / Clinical
+    columns (Vent_Analysis.py:655-676) as data.
+
+    Carries the per-study metadata schema (which ID key the study uses,
+    which treatment arms are valid, which extra metadata fields the GUI
+    collected) plus the scientific VentConfig.  The CLI uses this to
+    validate --treatment/--visit against the study's arms and to stamp
+    study provenance into exported metadata; the filename grammar
+    (ventjax.report.export.export_filename) consumes the same `irb` key.
+    """
+
+    irb: str                      # grammar key ('genxe'|'mepo'|'clinical')
+    id_field: str                 # metadata key for the subject ID
+    id_label: str                 # GUI label (provenance)
+    treatments: Tuple[str, ...]   # valid treatment/timepoint arms
+    visits: Tuple[str, ...]       # valid visit choices ('' = free-form #)
+    extra_fields: Tuple[str, ...]  # additional per-study metadata keys
+    config: VentConfig = DEFAULT_CONFIG
+
+    def validate(self, treatment: str = None, visit: str = None) -> None:
+        if treatment and self.treatments and treatment not in self.treatments:
+            raise ValueError(
+                f"{self.irb}: treatment {treatment!r} not in "
+                f"{self.treatments}"
+            )
+        if visit and self.visits and visit not in self.visits:
+            raise ValueError(
+                f"{self.irb}: visit {visit!r} not in {self.visits}"
+            )
+
+
+# Study schemas transcribed from the reference GUI columns
+# (Vent_Analysis.py:659-672) and its export filename grammar (961-984).
 STUDY_PRESETS = {
-    "genxe": DEFAULT_CONFIG,
-    "mepo": DEFAULT_CONFIG,
-    "clinical": DEFAULT_CONFIG,
+    "genxe": StudyPreset(
+        irb="genxe",
+        id_field="genxe_id",
+        id_label="General Xenon ID",
+        # metadata['treatment'] values the GUI sets (Vent_Analysis.py:969-972)
+        treatments=("preAlbuterol", "postAlbuterol",
+                    "preSildenafil", "postSildenafil"),
+        visits=(),
+        extra_fields=("Disease",),  # Healthy/Asthma/CF/COPD/Other radio
+    ),
+    "mepo": StudyPreset(
+        irb="mepo",
+        id_field="mepo_id",
+        id_label="Mepo ID",
+        treatments=("preAlb", "postAlb"),
+        visits=("1", "2", "3"),     # Baseline / 4-week / 12-week radios
+        extra_fields=("mepo_subject_number",),
+    ),
+    "clinical": StudyPreset(
+        irb="clinical",
+        id_field="clinical_id",
+        id_label="Clinical Subject Initials",
+        # metadata['treatment'] is 'none' or 'Albuterol' in the reference
+        # (Vent_Analysis.py:982-983); the filename grammar keys off
+        # 'Albuterol' vs anything else ('baseline').
+        treatments=("baseline", "Albuterol"),
+        visits=(),                  # free-form visit number
+        extra_fields=(),
+    ),
 }
 
 
-def preset(name: str) -> VentConfig:
+def preset(name: str) -> StudyPreset:
     try:
         return STUDY_PRESETS[name.lower()]
     except KeyError:

@@ -10,6 +10,31 @@ import jax
 import jax.numpy as jnp
 
 
+def sort_compact_masked(values: jnp.ndarray, m: jnp.ndarray, pad: int):
+    """Compact the masked elements of a flat vector to `pad` leading slots.
+
+    Returns (idx, vals, n_mask): row-major flat indices and values of the
+    masked elements, padded to static length `pad` (padded idx slots are
+    clamped to V-1; mask validity = arange(pad) < n_mask).  One key-value
+    sort — ~3x faster on this TPU than jnp.nonzero(size=...) followed by a
+    gather (both lower to sorts, but the sort carries the values along
+    instead of re-gathering them), and byte-identical in its first n_mask
+    slots: ascending index keys reproduce nonzero's row-major order.
+    """
+    V = values.shape[0]
+    key = jnp.where(m, jnp.arange(V, dtype=jnp.int32), jnp.int32(V))
+    sk, sv = jax.lax.sort([key, values], num_keys=1)
+    return jnp.minimum(sk[:pad], V - 1), sv[:pad], jnp.sum(m)
+
+
+def compact_mask_indices(m: jnp.ndarray, pad: int):
+    """sort_compact_masked without a value payload: (idx, n_mask)."""
+    V = m.shape[0]
+    key = jnp.where(m, jnp.arange(V, dtype=jnp.int32), jnp.int32(V))
+    sk = jax.lax.sort(key)
+    return jnp.minimum(sk[:pad], V - 1), jnp.sum(m)
+
+
 def minmax_normalize(x: jnp.ndarray) -> jnp.ndarray:
     """(x - min) / (max - min) with the reference's zero-range guard
     (Vent_Analysis.py:233-237)."""

@@ -259,9 +259,10 @@ def calculate_ci_pairwise(
     M = geom.n_balls
     d01 = defect != 0
 
+    from ventjax.ops.basic import compact_mask_indices
+
     flat_c = d01.reshape(-1)
-    n_def = jnp.sum(flat_c)
-    (cidx,) = jnp.nonzero(flat_c, size=K, fill_value=0)
+    cidx, n_def = compact_mask_indices(flat_c, K)
     valid = jnp.arange(K) < n_def
     SENT = jnp.int32(1 << 20)  # far-away sentinel: fails box checks
     ii = jnp.where(valid, (cidx // (W * D)).astype(jnp.int32), SENT)

@@ -33,21 +33,74 @@ from ventjax.oracle.n4_oracle import _next_pow2_padded, bspline_basis_1d
 LOG2 = float(np.log(2.0))
 
 
+@functools.lru_cache(maxsize=4)
+def _dft_mats_np(padded: int):
+    """Cos/sin DFT matrices: the 512-pt transforms as MXU matmuls.
+
+    The histogram-sharpening chain needs ~6 length-`padded` transforms per
+    iteration; on this TPU a [B,512]@[512,512] matmul is effectively free on
+    the MXU while the XLA FFT lowering is a long chain of small sequential
+    ops inside the while_loop body.
+    """
+    n = np.arange(padded)
+    ang = 2.0 * np.pi / padded * np.outer(n, n)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
 def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
-    """Histogram-sharpen a padded masked-value vector (weights wv in {0,1})."""
+    """Histogram-sharpen a padded masked-value vector (weights wv in {0,1}).
+
+    Same math as the dense triangular-kernel version (and the float64 oracle,
+    ventjax.oracle.n4_oracle.sharpen_log_intensities), restructured for the
+    MXU: the fractional histogram's triangle weights relu(1-|t-b|) touch only
+    bins floor(t) and floor(t)+1, so splitting the bin index into
+    (hi, lo) = divmod(b, 16) turns both the histogram build and the
+    expectation interpolation into tiny one-hot matmuls — [G,P]@[P,16] and
+    [P,G]@[G,16] — instead of [P,bins] dense broadcasting (which at
+    bins=200 is ~10x the VPU work and materializes in HBM).
+    """
     dtype = logu.dtype
+    hiprec = jax.lax.Precision.HIGH
     binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
     binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
     slope = (binmax - binmin) / (bins - 1)
 
     t = jnp.clip((logu - binmin) / slope, 0.0, float(bins - 1)) * wv
-    bin_ids = jnp.arange(bins, dtype=dtype)
-    # hist[b] = sum_v wv * relu(1 - |t_v - b|)  (fractional binning).
-    tri = jnp.maximum(0.0, 1.0 - jnp.abs(t[:, None] - bin_ids[None, :]))
-    hist = jnp.sum(wv[:, None] * tri, axis=0)
+
+    GL = 16                          # lo-group width
+    NG = -(-(bins + 2) // GL)        # hi groups (covers bins+1 interp slots)
+    g_ids = jnp.arange(NG, dtype=jnp.int32)
+    l_ids = jnp.arange(GL, dtype=jnp.int32)
+
+    def onehots(idx):
+        A = ((idx // GL)[:, None] == g_ids[None, :]).astype(dtype)
+        C = ((idx % GL)[:, None] == l_ids[None, :]).astype(dtype)
+        return A, C
+
+    # hist[b] = sum_v wv * relu(1 - |t_v - b|): exactly (1-f) at floor(t)
+    # plus f at floor(t)+1 (f = frac(t); the f=0 edge contributes only once).
+    i0 = jnp.floor(t)
+    f = t - i0
+    i0 = i0.astype(jnp.int32)
+    A0, C0 = onehots(i0)
+    A1, C1 = onehots(i0 + 1)
+    w0 = wv * (1.0 - f)
+    w1 = wv * f
+    h2d = (
+        jnp.einsum("pg,pl->gl", A0 * w0[:, None], C0, precision=hiprec)
+        + jnp.einsum("pg,pl->gl", A1 * w1[:, None], C1, precision=hiprec)
+    )
+    hist = h2d.reshape(NG * GL)[:bins]
+
+    cosm, sinm = _dft_mats_np(padded)
+    Fc = jnp.asarray(cosm, dtype)
+    Fs = jnp.asarray(sinm, dtype)
+    dot = lambda x, M: jnp.einsum("i,ij->j", x, M, precision=hiprec)
+    fwd = lambda x: (dot(x, Fc), -dot(x, Fs))            # FFT of a real vector
+    inv_real = lambda xr, xi: (dot(xr, Fc) - dot(xi, Fs)) / padded
 
     v = jnp.zeros(padded, dtype).at[offset:offset + bins].set(hist)
-    vf = jnp.fft.fft(v)
+    vr, vi = fwd(v)
 
     scaled_fwhm = fwhm / slope
     exp_factor = 4.0 * LOG2 / scaled_fwhm ** 2
@@ -55,22 +108,57 @@ def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
     n = jnp.arange(padded)
     half = jnp.minimum(n, padded - n).astype(dtype)
     fkernel = scale_factor * jnp.exp(-(half ** 2) * exp_factor)
-    ff = jnp.fft.fft(fkernel)
+    fr, fi = fwd(fkernel)
 
-    gf = jnp.conj(ff) / (jnp.abs(ff) ** 2 + wiener_noise)
-    u = jnp.maximum(jnp.real(jnp.fft.ifft(vf * gf)), 0.0)
+    # Wiener deconvolution gf = conj(ff) / (|ff|^2 + noise).
+    gdenom = fr * fr + fi * fi + wiener_noise
+    gr = fr / gdenom
+    gi = -fi / gdenom
+    u = jnp.maximum(inv_real(vr * gr - vi * gi, vr * gi + vi * gr), 0.0)
 
     bin_u = binmin + (n.astype(dtype) - offset) * slope
-    num = jnp.real(jnp.fft.ifft(jnp.fft.fft(u * bin_u) * ff))
-    den = jnp.real(jnp.fft.ifft(jnp.fft.fft(u) * ff))
+    yr, yi = fwd(u * bin_u)
+    num = inv_real(yr * fr - yi * fi, yr * fi + yi * fr)
+    ur, ui = fwd(u)
+    den = inv_real(ur * fr - ui * fi, ur * fi + ui * fr)
     expectation = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
 
-    # linear interp of E at t+offset via the same triangle trick over the
+    # linear interp of E at t+offset: same one-hot split over the
     # (bins+2)-entry slice of E that masked positions can touch.
     e_loc = jax.lax.dynamic_slice(expectation, (offset - 1,), (bins + 2,))
-    loc_ids = jnp.arange(bins + 2, dtype=dtype)
-    tri2 = jnp.maximum(0.0, 1.0 - jnp.abs((t + 1.0)[:, None] - loc_ids[None, :]))
-    return jnp.sum(tri2 * e_loc[None, :], axis=1) * wv
+    E2d = jnp.zeros(NG * GL, dtype).at[:bins + 2].set(e_loc).reshape(NG, GL)
+    s = t + 1.0
+    j0 = jnp.floor(s)
+    fs = s - j0
+    j0 = j0.astype(jnp.int32)
+    A0s, C0s = onehots(j0)
+    A1s, C1s = onehots(j0 + 1)
+    v0 = jnp.sum(
+        jnp.einsum("pg,gl->pl", A0s, E2d, precision=hiprec) * C0s, axis=1
+    )
+    v1 = jnp.sum(
+        jnp.einsum("pg,gl->pl", A1s, E2d, precision=hiprec) * C1s, axis=1
+    )
+    return ((1.0 - fs) * v0 + fs * v1) * wv
+
+
+def _bspline_rows(coords, n, n_elements, dtype):
+    """[P, ncp] cubic B-spline basis rows at integer grid coords.
+
+    Analytic cardinal form — basis[h, c] = B(t_h - c + 1) with B the
+    cardinal cubic B-spline — instead of gathering rows from the
+    bspline_basis_1d table (per-voxel gathers are the single slowest
+    primitive on this TPU).  Identical to the table, including the end
+    clamp: at t = n_elements the clamped (span=ne-1, u=1) and unclamped
+    (span=ne, u=0) parameterizations place the same weights on the same
+    columns, which is exactly what the continuous cardinal form evaluates.
+    """
+    ncp = n_elements + 3
+    t = coords.astype(dtype) * (float(n_elements) / float(max(n - 1, 1)))
+    x = jnp.abs(t[:, None] - jnp.arange(ncp, dtype=dtype)[None, :] + 1.0)
+    near = (4.0 - 6.0 * x * x + 3.0 * x ** 3) / 6.0
+    far = (2.0 - x) ** 3 / 6.0
+    return jnp.where(x < 1.0, near, jnp.where(x < 2.0, far, 0.0))
 
 
 @functools.partial(
@@ -105,14 +193,16 @@ def n4_bias_correction(
     img = image.astype(dtype)
     m = (mask > 0) & (img > 0)
 
+    from ventjax.ops.basic import sort_compact_masked
+
     flat_m = m.reshape(-1)
-    n_mask = jnp.sum(flat_m)
-    (idx,) = jnp.nonzero(flat_m, size=P, fill_value=0)
+    idx, raw_vals, n_mask = sort_compact_masked(
+        img.reshape(-1), flat_m, P
+    )
     wv = (jnp.arange(P) < n_mask).astype(dtype)
     overflow = n_mask > P
 
-    img_flat = img.reshape(-1)
-    vals = jnp.maximum(img_flat[idx], 1.0e-30)
+    vals = jnp.maximum(raw_vals, 1.0e-30)
     logv = jnp.log(jnp.where(wv > 0, vals, 1.0)) * wv
     hc = (idx // (W * D)).astype(jnp.int32)
     wc = ((idx // D) % W).astype(jnp.int32)
@@ -125,23 +215,17 @@ def n4_bias_correction(
     phi_totals = []
     for level in range(fitting_levels):
         n_elements = (control_points - 3) * 2 ** level
-        br = bspline_basis_1d(H, n_elements)
-        bc = bspline_basis_1d(W, n_elements)
-        bs = bspline_basis_1d(D, n_elements)
-        ncp = br.shape[1]
-        s1 = (br ** 2).sum(1)
-        s2 = (bc ** 2).sum(1)
-        s3 = (bs ** 2).sum(1)
-        # Per-voxel basis rows / normalizers (gathered once per level), and
-        # the iteration-invariant col(x)slice outer-product rows: with
-        # BO[p, d*e] = bcv[p,d]*bsv[p,e], the 3-way point contraction
-        # num[c,d,e] = sum_p a_p br_p[c] bc_p[d] bs_p[e] collapses to the
-        # skinny matmul (a*brv)^T @ BO — no [P,c,d] materialization.
-        brv = jnp.asarray(br, dtype)[hc]
-        bcv = jnp.asarray(bc, dtype)[wc]
-        bsv = jnp.asarray(bs, dtype)[sc]
-        sv = (jnp.asarray(s1, dtype)[hc] * jnp.asarray(s2, dtype)[wc]
-              * jnp.asarray(s3, dtype)[sc])
+        ncp = n_elements + 3
+        # Per-voxel basis rows / normalizers (computed analytically — no
+        # table gathers), and the iteration-invariant col(x)slice
+        # outer-product rows: with BO[p, d*e] = bcv[p,d]*bsv[p,e], the
+        # 3-way point contraction num[c,d,e] = sum_p a_p br_p[c] bc_p[d]
+        # bs_p[e] collapses to the skinny matmul (a*brv)^T @ BO — no
+        # [P,c,d] materialization.
+        brv = _bspline_rows(hc, H, n_elements, dtype)
+        bcv = _bspline_rows(wc, W, n_elements, dtype)
+        bsv = _bspline_rows(sc, D, n_elements, dtype)
+        sv = ((brv ** 2).sum(1) * (bcv ** 2).sum(1) * (bsv ** 2).sum(1))
         # Per-iteration matmul operands live in bf16: at [P, ncp^2] they are
         # the dominant HBM traffic of every iteration (re-read twice per
         # step), and the MXU accumulates their products in f32.  The basis

@@ -36,6 +36,7 @@ from ventjax.ops.ci_pairwise import (
     calculate_ci_pairwise,
 )
 from ventjax.pipeline.result import StudyMetrics, VentResult
+from ventjax.utils.profiling import stage
 
 
 def analyze_study(
@@ -55,39 +56,46 @@ def analyze_study(
     # invalidate the metrics afterwards.
     safe_mask = jnp.where(valid, mask, jnp.ones_like(mask))
 
-    snr = calculate_snr(hp, safe_mask, c.snr_fov_buffer)
-    n4, n4_overflow = n4_bias_correction(
-        hp,
-        safe_mask,
-        fitting_levels=c.n4_fitting_levels,
-        max_iters=c.n4_max_iters,
-        convergence_threshold=c.n4_convergence_threshold,
-        bins=c.n4_histogram_bins,
-        fwhm=c.n4_bias_fwhm,
-        wiener_noise=c.n4_wiener_noise,
-        control_points=c.n4_control_points,
-        mask_pad=c.n4_mask_pad,
-        return_overflow=True,
-    )
-    defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
-    defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
-    defect_lb, vdp_lb = vdp_linear_binning(
-        n4, safe_mask, c.lb_edges, c.lb_percentile
-    )
-    defect_km, vdp_km = vdp_kmeans(
-        n4, safe_mask, c.kmeans_clusters, c.kmeans_iters, c.kmeans_defect_clusters
-    )
-    if isinstance(geom, CIPairwiseGeometry):
-        ci_map, n_saturated, ci_overflow = calculate_ci_pairwise(
-            defect, geom, c.ci_max_defect_voxels
+    with stage("snr"):
+        snr = calculate_snr(hp, safe_mask, c.snr_fov_buffer)
+    with stage("n4"):
+        n4, n4_overflow = n4_bias_correction(
+            hp,
+            safe_mask,
+            fitting_levels=c.n4_fitting_levels,
+            max_iters=c.n4_max_iters,
+            convergence_threshold=c.n4_convergence_threshold,
+            bins=c.n4_histogram_bins,
+            fwhm=c.n4_bias_fwhm,
+            wiener_noise=c.n4_wiener_noise,
+            control_points=c.n4_control_points,
+            mask_pad=c.n4_mask_pad,
+            return_overflow=True,
         )
-    else:
-        from ventjax.ops.ci import calculate_ci_staged
+    with stage("vdp_mean_anchored"):
+        defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
+        defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
+    with stage("vdp_linear_binning"):
+        defect_lb, vdp_lb = vdp_linear_binning(
+            n4, safe_mask, c.lb_edges, c.lb_percentile
+        )
+    with stage("vdp_kmeans"):
+        defect_km, vdp_km = vdp_kmeans(
+            n4, safe_mask, c.kmeans_clusters, c.kmeans_iters,
+            c.kmeans_defect_clusters, mask_pad=c.n4_mask_pad,
+        )
+    with stage("ci"):
+        if isinstance(geom, CIPairwiseGeometry):
+            ci_map, n_saturated, ci_overflow = calculate_ci_pairwise(
+                defect, geom, c.ci_max_defect_voxels
+            )
+        else:
+            from ventjax.ops.ci import calculate_ci_staged
 
-        ci_map, n_saturated, ci_overflow, stage_ovf = calculate_ci_staged(
-            defect, geom, c.ci_max_defect_voxels
-        )
-        ci_overflow = ci_overflow | (stage_ovf > 0)
+            ci_map, n_saturated, ci_overflow, stage_ovf = calculate_ci_staged(
+                defect, geom, c.ci_max_defect_voxels
+            )
+            ci_overflow = ci_overflow | (stage_ovf > 0)
 
     # Subject CI: sorted CI over defect voxels at floor-index percentile
     # (Vent_Analysis.py:268-270).  NaN when there are no defect voxels
