@@ -77,3 +77,44 @@ def test_cli_info(capsys):
     assert main(["info"]) == 0
     info = json.loads(capsys.readouterr().out)
     assert "ventjax" in info and "devices" in info
+
+
+def test_cohort_mixed_geometry_and_adaptive_pads(tmp_path):
+    """A manifest mixing 64x64x8 and 128x128x16 studies completes with
+    correct per-subject metrics via per-geometry sub-batches, and resume
+    still works (VERDICT r1 item 3 / SURVEY §7 hard part 4)."""
+    from ventjax.io.synthetic import write_study
+    from ventjax.pipeline.cohort import run_cohort
+
+    small = str(tmp_path / "small")
+    big = str(tmp_path / "big")
+    write_study(small, shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=6)
+    write_study(big, shape=(128, 128, 16), vox=(2.0, 2.0, 11.5), seed=7)
+    manifest = [
+        {"id": "sm0", "xenon": f"{small}/xenon.dcm", "mask": f"{small}/mask"},
+        {"id": "bg0", "xenon": f"{big}/xenon.dcm", "mask": f"{big}/mask"},
+        {"id": "sm1", "xenon": f"{small}/xenon.dcm", "mask": f"{small}/mask"},
+    ]
+    out = str(tmp_path / "out")
+    results = run_cohort(manifest, out, batch_size=2)
+    by_id = {r["id"]: r for r in results}
+    assert set(by_id) == {"sm0", "bg0", "sm1"}
+    assert all(r["valid"] for r in results)
+    # identical small studies agree exactly; geometries got separate batches
+    assert by_id["sm0"]["VDP"] == by_id["sm1"]["VDP"]
+    assert by_id["bg0"]["VDP"] != by_id["sm0"]["VDP"]
+    # single-study run must match the cohort lane (pad/bucketing is inert)
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.pipeline.analyze import make_analyze_fn
+    from ventjax.io.dicom import open_single_dicom, open_dicom_folder
+    import jax.numpy as jnp
+    _, hp = open_single_dicom(f"{small}/xenon.dcm")
+    _, mk = open_dicom_folder(f"{small}/mask")
+    single = make_analyze_fn((1.5, 1.5, 10.0), (64, 64, 8), DEFAULT_CONFIG)
+    r1 = single(jnp.asarray(np.asarray(hp, np.float32)),
+                jnp.asarray(np.asarray(mk, np.float32)))
+    assert by_id["sm0"]["VDP"] == pytest.approx(float(r1.metrics.vdp),
+                                                abs=1e-4)
+    # resume: a rerun loads everything from done-markers
+    again = run_cohort(manifest, out, batch_size=2)
+    assert {r["id"] for r in again} == {"sm0", "bg0", "sm1"}

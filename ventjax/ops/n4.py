@@ -268,7 +268,9 @@ def n4_bias_correction(
             delta = jnp.sum(brv * g, axis=1)
             delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta) * wv
 
-            ed = jnp.exp(delta)
+            # ITK's convergence measurement: CV of exp(old - new) = exp(-delta)
+            # over the mask (itkN4BiasFieldCorrectionImageFilter.hxx).
+            ed = jnp.exp(-delta)
             nmask = jnp.sum(wv)
             mu = jnp.sum(ed * wv) / nmask
             sd = jnp.sqrt(jnp.sum(wv * (ed - mu) ** 2) / nmask)

@@ -176,8 +176,11 @@ def n4_bias_correction_oracle(
             residual = np.where(m, log_u - sharpened, 0.0)
             delta = fit_bspline_field(residual, weights, n_elements)
             total_field = total_field + delta
-            # Convergence: CV of exp(delta) over the mask.
-            ed = np.exp(delta[m])
+            # Convergence: CV over the mask of the pixelwise ratio
+            # exp(old_field - new_field) = exp(-delta), matching ITK's
+            # CalculateConvergenceMeasurement (itkN4BiasFieldCorrection-
+            # ImageFilter.hxx subtracts old - new before exponentiating).
+            ed = np.exp(-delta[m])
             cv = ed.std() / ed.mean()
             if cv < convergence_threshold:
                 break

@@ -1,15 +1,23 @@
-"""Cohort driver: batched, sharded, resumable multi-subject analysis.
+"""Cohort driver: streaming, batched, sharded, resumable multi-subject runs.
 
 Replaces the reference's one-subject-at-a-time GUI loop
 (Vent_Analysis.py:856-864 keeps a single mutable Vent1) with a manifest-based
-batch runner (SURVEY.md §5 checkpoint/resume):
+batch runner (SURVEY.md §5 checkpoint/resume, §2.3 pipeline parallelism):
 
 - a manifest (JSON list of {"id", "xenon", "mask", "proton"?}) names the
   cohort;
-- subjects are decoded host-side, stacked into padded [N,H,W,D] batches, and
-  analyzed by the fused pipeline sharded over the device mesh;
-- per-subject outputs (6-channel NIfTI + metrics JSON) are written with
-  done-markers, so a rerun skips completed subjects;
+- subjects are decoded host-side through a BOUNDED prefetch window that
+  overlaps the device compute (memory is O(batch), not O(cohort));
+- subjects are grouped by geometry (shape, voxel size) and analyzed in
+  per-geometry sub-batches by the fused pipeline sharded over the device
+  mesh — mixed-geometry manifests just work;
+- the CI defect pad and N4 mask pad are sized adaptively per batch
+  (power-of-two buckets, sticky per geometry) and bumped + re-run on
+  overflow, so results are never silently truncated: the configured
+  values act as hard ceilings, beyond which the overflow flags stand;
+- per-subject outputs (6-channel NIfTI + metrics JSON) are written by a
+  small thread pool off the device critical path, with done-markers so a
+  rerun skips completed subjects;
 - a corrupt subject poisons only its own lane (valid=False in its metrics).
 """
 from __future__ import annotations
@@ -17,6 +25,8 @@ from __future__ import annotations
 import json
 import logging
 import os
+import threading
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -83,6 +93,84 @@ def _decode_subject(entry: Dict) -> Tuple[Optional[np.ndarray], ...]:
         return None, None, None, None
 
 
+def _pow2_at_least(n: int, floor: int = 256) -> int:
+    return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+class _GeometryRunner:
+    """Per-(shape, vox) batcher: jit cache + sticky adaptive pads."""
+
+    def __init__(self, shape, vox, config: VentConfig, mesh, batch_size: int):
+        self.shape = shape
+        self.vox = vox
+        self.config = config
+        self.mesh = mesh
+        self.bs = batch_size
+        self.items: List[Tuple[Dict, Tuple]] = []
+        # Sticky buckets: start small, grow on overflow, never shrink
+        # within a run (keeps recompiles to a handful per geometry).
+        self.ci_bucket = min(512, config.ci_max_defect_voxels)
+        self.n4_bucket = min(8192, config.n4_mask_pad)
+        self._fns: Dict[Tuple[int, int], Callable] = {}
+
+    def _fn(self, ci_pad: int, n4_pad: int):
+        key = (ci_pad, n4_pad)
+        if key not in self._fns:
+            cfg = self.config.replace(
+                ci_max_defect_voxels=ci_pad, n4_mask_pad=n4_pad
+            )
+            geom = build_geometry(self.vox, self.shape, cfg)
+            f = lambda h, m: analyze_cohort(h, m, geom, cfg)
+            if self.mesh is not None:
+                f = shard_cohort_fn(f, self.mesh)
+            self._fns[key] = jax.jit(f)
+        return self._fns[key]
+
+    def add(self, entry: Dict, decoded: Tuple) -> bool:
+        self.items.append((entry, decoded))
+        return len(self.items) >= self.bs
+
+    def take_batch(self) -> List[Tuple[Dict, Tuple]]:
+        batch, self.items = self.items[:self.bs], self.items[self.bs:]
+        return batch
+
+    def run(self, batch):
+        """Analyze one padded batch; bump pads and re-run on overflow.
+
+        Returns (device VentResult, n_items).  The configured
+        ci_max_defect_voxels / n4_mask_pad are hard ceilings — at the
+        ceiling the overflow flags stay in the metrics (never silent).
+        """
+        n = len(batch)
+        pad = self.bs - n
+        zeros = [np.zeros(self.shape, np.float32)] * pad
+        hp = jnp.asarray(np.stack([d[0] for _, d in batch] + zeros))
+        mask_np = np.stack([d[1] for _, d in batch] + zeros)
+        mask = jnp.asarray(mask_np)
+
+        max_mask = int((mask_np > 0).sum(axis=(1, 2, 3)).max())
+        cap = min(int(np.prod(self.shape)), self.config.n4_mask_pad)
+        self.n4_bucket = min(max(self.n4_bucket,
+                                 _pow2_at_least(max_mask, 8192)), cap)
+        while True:
+            res = self._fn(self.ci_bucket, self.n4_bucket)(hp, mask)
+            ci_ovf = bool(np.asarray(res.metrics.ci_overflow)[:n].any())
+            n4_ovf = bool(np.asarray(res.metrics.n4_overflow)[:n].any())
+            bump = False
+            if ci_ovf and self.ci_bucket < self.config.ci_max_defect_voxels:
+                self.ci_bucket = min(self.ci_bucket * 2,
+                                     self.config.ci_max_defect_voxels)
+                bump = True
+            if n4_ovf and self.n4_bucket < cap:
+                self.n4_bucket = min(self.n4_bucket * 2, cap)
+                bump = True
+            if not bump:
+                return res, n
+            log.info("geometry %s: pad overflow, re-running batch at "
+                     "ci=%d n4=%d", self.shape, self.ci_bucket,
+                     self.n4_bucket)
+
+
 def run_cohort(
     manifest: List[Dict],
     out_dir: str,
@@ -91,15 +179,18 @@ def run_cohort(
     use_mesh: bool = True,
     resume: bool = True,
     decode_workers: int = 8,
+    export_workers: int = 4,
     progress: Optional[Callable[[str, int, int], None]] = None,
 ) -> List[Dict]:
     """Analyze every subject in the manifest; returns per-subject metrics.
 
-    `progress(stage, done, total)` is called after decode and after each
-    device batch (the observability hook, SURVEY.md §5 metrics/logging).
+    Streaming: decode prefetch is bounded at 2 batches ahead, exports run in
+    background threads, so host memory stays O(batch_size x geometries) on
+    arbitrarily large cohorts.  `progress(stage, done, total)` is called as
+    subjects decode and as device batches complete.
     """
     os.makedirs(out_dir, exist_ok=True)
-    todo = []
+    todo: List[Dict] = []
     results: List[Dict] = []
     for entry in manifest:
         sid = entry["id"]
@@ -112,73 +203,102 @@ def run_cohort(
     if not todo:
         return results
 
-    # Overlapped host-side decode (the reference's per-slice dcmread loop is
-    # its ingest hot spot, SURVEY.md §3.1) feeding device batches.
-    log.info("decoding %d subjects (%d workers)", len(todo), decode_workers)
-    with ThreadPoolExecutor(max_workers=decode_workers) as pool:
-        decoded = list(pool.map(_decode_subject, todo))
-    if progress:
-        progress("decode", len(decoded), len(todo))
+    n_dev = len(jax.devices()) if use_mesh else 1
+    bs = batch_size or max(n_dev, 8)
+    bs = -(-bs // n_dev) * n_dev  # divisible by mesh size
+    mesh = make_batch_mesh() if use_mesh and n_dev > 1 else None
 
-    ok_idx = [i for i, d in enumerate(decoded) if d[0] is not None]
-    if ok_idx:
-        shapes = {decoded[i][0].shape for i in ok_idx}
-        voxes = {decoded[i][2] for i in ok_idx}
-        if len(shapes) > 1 or len(voxes) > 1:
-            raise ValueError(
-                f"cohort mixes volume shapes {shapes} / voxel sizes {voxes}; "
-                "split the manifest per geometry"
-            )
-        shape = next(iter(shapes))
-        vox = next(iter(voxes))
-        # Data-driven N4 pad bucket (8k granularity, never above the
-        # configured ceiling); overflow is still flagged per subject.
-        max_mask = max(int((decoded[i][1] > 0).sum()) for i in ok_idx)
-        pad = min(config.n4_mask_pad, -(-max_mask // 8192) * 8192)
-        config = config.replace(n4_mask_pad=pad)
-        geom = build_geometry(vox, shape, config)
+    runners: Dict[Tuple, _GeometryRunner] = {}
+    results_lock = threading.Lock()
+    n_done = 0
+    total = len(todo)
 
-        n_dev = len(jax.devices()) if use_mesh else 1
-        bs = batch_size or max(n_dev, 8)
-        bs = -(-bs // n_dev) * n_dev  # divisible by mesh size
-        fn = lambda h, m: analyze_cohort(h, m, geom, config)
-        if use_mesh and n_dev > 1:
-            fn = shard_cohort_fn(fn, make_batch_mesh())
-        fn = jax.jit(fn)
+    export_pool = ThreadPoolExecutor(max_workers=export_workers)
+    export_futures = []
+    # Backpressure: at most 2 batches of results may be queued for export,
+    # so host memory stays O(batch) even when export I/O (or the slow
+    # device->host link) lags behind compute.
+    export_slots = threading.BoundedSemaphore(2)
 
-        for start in range(0, len(ok_idx), bs):
-            chunk = ok_idx[start:start + bs]
-            pad = bs - len(chunk)
-            hp = np.stack([decoded[i][0] for i in chunk]
-                          + [np.zeros(shape, np.float32)] * pad)
-            mask = np.stack([decoded[i][1] for i in chunk]
-                            + [np.zeros(shape, np.float32)] * pad)
-            res = fn(jnp.asarray(hp), jnp.asarray(mask))
-            for lane, i in enumerate(chunk):
-                entry = todo[i]
-                _write_subject(
-                    out_dir, entry, decoded[i],
-                    jax.tree_util.tree_map(lambda x: x[lane], res),
-                    results,
-                )
-            log.info("analyzed %d/%d subjects", start + len(chunk), len(ok_idx))
-            if progress:
-                progress("analyze", start + len(chunk), len(ok_idx))
+    def _export_batch(batch, res):
+        try:
+            # One batched device->host transfer per array (a [B,H,W,D]
+            # transfer costs barely more than a [H,W,D] one here; per-lane
+            # or per-scalar transfers each pay the full sync latency).
+            host = jax.tree_util.tree_map(np.asarray, res)
+            for lane, (entry, decoded) in enumerate(batch):
+                lane_res = jax.tree_util.tree_map(lambda x: x[lane], host)
+                _write_subject(out_dir, entry, decoded, lane_res,
+                               results, results_lock)
+        finally:
+            export_slots.release()
 
-    for i, d in enumerate(decoded):
-        if d[0] is None:
-            entry = todo[i]
+    def submit_export(batch, res):
+        nonlocal n_done
+        export_slots.acquire()
+        export_futures.append(export_pool.submit(_export_batch, batch, res))
+        n_done += len(batch)
+        if progress:
+            progress("analyze", n_done, total)
+        log.info("analyzed %d/%d subjects", n_done, total)
+
+    def handle(entry, decoded):
+        nonlocal n_done
+        if decoded[0] is None:
             metrics = {"id": entry["id"], "valid": False,
                        "error": "decode_failed"}
             sdir = os.path.join(out_dir, entry["id"])
             os.makedirs(sdir, exist_ok=True)
             with open(os.path.join(sdir, "metrics.json"), "w") as f:
                 json.dump(metrics, f, indent=2)
-            results.append(metrics)
+            with results_lock:
+                results.append(metrics)
+            n_done += 1
+            return
+        geo = (decoded[0].shape, decoded[2])
+        if geo not in runners:
+            runners[geo] = _GeometryRunner(geo[0], geo[1], config, mesh, bs)
+        runner = runners[geo]
+        if runner.add(entry, decoded):
+            batch = runner.take_batch()
+            res, _ = runner.run(batch)
+            submit_export(batch, res)
+
+    # Streaming decode: a bounded window of in-flight decode futures
+    # (2 batches ahead) overlapping device compute and export I/O.
+    prefetch = max(2 * bs, decode_workers)
+    with ThreadPoolExecutor(max_workers=decode_workers) as dpool:
+        pending = deque()
+        it = iter(todo)
+        for entry in todo[:prefetch]:
+            next(it)
+            pending.append((entry, dpool.submit(_decode_subject, entry)))
+        n_decoded = 0
+        while pending:
+            entry, fut = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, dpool.submit(_decode_subject, nxt)))
+            decoded = fut.result()
+            n_decoded += 1
+            if progress:
+                progress("decode", n_decoded, total)
+            handle(entry, decoded)
+
+    # Flush partial batches per geometry.
+    for runner in runners.values():
+        while runner.items:
+            batch = runner.take_batch()
+            res, _ = runner.run(batch)
+            submit_export(batch, res)
+
+    for f in export_futures:
+        f.result()  # surface export exceptions
+    export_pool.shutdown(wait=True)
     return results
 
 
-def _write_subject(out_dir, entry, decoded, res, results) -> None:
+def _write_subject(out_dir, entry, decoded, res, results, lock) -> None:
     hp, mask, vox, ds = decoded
     sid = entry["id"]
     sdir = os.path.join(out_dir, sid)
@@ -195,4 +315,5 @@ def _write_subject(out_dir, entry, decoded, res, results) -> None:
         rexport.dicom_to_json(ds, os.path.join(sdir, f"{sid}.json"))
     with open(os.path.join(sdir, ".done"), "w") as f:
         f.write("ok\n")
-    results.append(metrics)
+    with lock:
+        results.append(metrics)
