@@ -118,3 +118,30 @@ def test_cohort_mixed_geometry_and_adaptive_pads(tmp_path):
     # resume: a rerun loads everything from done-markers
     again = run_cohort(manifest, out, batch_size=2)
     assert {r["id"] for r in again} == {"sm0", "bg0", "sm1"}
+
+
+def test_study_presets_have_substance():
+    """Presets carry real per-IRB schemas and validate treatment/visit arms
+    (VERDICT r1 item 10)."""
+    from ventjax.config import preset
+    from ventjax.report.export import study_filename
+
+    genxe = preset("genxe")
+    mepo = preset("mepo")
+    clin = preset("clinical")
+    assert genxe.id_field != mepo.id_field != clin.id_field
+    assert set(genxe.treatments) == {"preAlbuterol", "postAlbuterol",
+                                     "preSildenafil", "postSildenafil"}
+    mepo.validate(treatment="preAlb", visit="2")
+    with pytest.raises(ValueError):
+        mepo.validate(visit="4")
+    with pytest.raises(ValueError):
+        clin.validate(treatment="albuterol")  # case matters: 'Albuterol'
+    # each preset's arms produce the reference's filename grammar suffixes
+    md = {"StudyDate": "20240301"}
+    assert study_filename("genxe", md, genxe_id="1",
+                          treatment="preSildenafil").endswith("_preSil")
+    assert study_filename("mepo", md, mepo_id="9", visit="2",
+                          treatment="postAlb").endswith("visit2_postAlb")
+    assert study_filename("clinical", md, clinical_id="AB", visit="1",
+                          treatment="Albuterol").endswith("_Albuterol")

@@ -79,3 +79,20 @@ def test_pipeline_empty_mask_isolated():
     vdp = np.asarray(res.metrics.vdp)
     assert list(valid) == [True, False, True]
     assert np.isnan(vdp[1]) and np.isfinite(vdp[0]) and np.isfinite(vdp[2])
+
+
+def test_pipeline_under_debug_checks():
+    """The pipeline runs clean under jax debug_nans/debug_infs interception
+    (SURVEY.md §5 sanitizers): no hidden NaN/Inf on the healthy path."""
+    import jax
+    from ventjax.utils.profiling import enable_debug_checks
+
+    hp, mask, _ = make_cohort(1, shape=SHAPE, vox=VOX, seed=4)
+    enable_debug_checks()
+    try:
+        fn = make_analyze_fn(VOX, SHAPE, CFG)
+        res = fn(jnp.asarray(hp[0]), jnp.asarray(mask[0]))
+        assert np.isfinite(float(res.metrics.vdp))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+        jax.config.update("jax_debug_infs", False)

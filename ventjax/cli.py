@@ -213,17 +213,30 @@ def _cmd_train_seg(args) -> int:
 def _cmd_twix(args) -> int:
     import numpy as np
     from ventjax.io.twix import read_twix
-    from ventjax.ops.fft_recon import recon_2d_multislice
+    from ventjax.ops.fft_recon import (
+        recon_2d_multislice, recon_2d_multislice_rss,
+    )
     import jax.numpy as jnp
 
     tw = read_twix(args.dat)
-    img = np.asarray(recon_2d_multislice(jnp.asarray(tw.kspace())))
+    if tw.n_channels > 1:
+        k = tw.kspace_multicoil()
+        img = np.asarray(recon_2d_multislice_rss(jnp.asarray(k)))
+        combine = "rss"
+        kshape = list(k.shape)
+    else:
+        k = tw.kspace()
+        img = np.asarray(recon_2d_multislice(jnp.asarray(k)))
+        combine = "none"
+        kshape = list(k.shape)
     os.makedirs(args.out, exist_ok=True)
     np.save(os.path.join(args.out, "raw_HPvent.npy"), img)
     print(json.dumps({
         "protocol": tw.protocol_name,
         "scan_datetime": tw.scan_datetime,
-        "kspace_shape": list(tw.kspace().shape),
+        "kspace_shape": kshape,
+        "channels": tw.n_channels,
+        "coil_combine": combine,
         "out": os.path.join(args.out, "raw_HPvent.npy"),
     }))
     return 0

@@ -251,6 +251,11 @@ class _Reader:
         return v
 
     def raw(self, n):
+        if self.pos + n > len(self.buf):
+            raise ValueError(
+                f"truncated DICOM stream: need {n} bytes at offset "
+                f"{self.pos}, have {len(self.buf) - self.pos}"
+            )
         v = self.buf[self.pos:self.pos + n]
         self.pos += n
         return v

@@ -2,10 +2,26 @@
 
 mapvbvd is not available in this environment; this module implements the
 subset the reference uses (Vent_Analysis.py:522-540 process_RAW): read the
-last measurement's image scans into a [columns, lines, slices] complex
-k-space array and pull PrepareTimestamp / tProtocolName from the protocol
-text.  Single-channel, uncompressed ADC data, no OS removal — the recon
-itself lives in ventjax.ops.fft_recon.
+last measurement's image scans into a complex k-space array and pull
+PrepareTimestamp / tProtocolName from the protocol text.  Uncompressed ADC
+data, no oversampling removal — the recon itself lives in
+ventjax.ops.fft_recon.
+
+Layout vs mapvbvd (the reference's reader):
+- The reference sets `raw_twix.image.squeeze = True` and takes
+  `raw_K = image['']` (Vent_Analysis.py:535-536).  mapvbvd's unsqueezed
+  order is [Col, Cha, Lin, Par, Sli, Ave, ...]; with squeeze the singleton
+  dims drop, so a single-channel 2-D multislice scan yields
+  [Col, Lin, Sli] — exactly this module's `kspace()` layout, so
+  `process_RAW`'s per-slice `raw_K[:, :, k]` loop (line 538) behaves
+  identically on either reader.
+- For a MULTI-channel scan, squeezed mapvbvd yields [Col, Cha, Lin, Sli]
+  and the reference's 3-D loop would slice the wrong axes — its process_RAW
+  is implicitly single-coil.  Here multi-coil data is explicit:
+  `kspace()` raises with a pointer to `kspace_multicoil()`
+  ([Cha, Col, Lin, Sli]) and the root-sum-of-squares recon
+  (ventjax.ops.fft_recon.recon_2d_multislice_rss) — never a silent
+  channel overwrite.
 
 The exact MDH field layout below is written/read from the same struct
 definitions, and `write_synthetic_twix` produces files in this layout for
@@ -53,17 +69,39 @@ class TwixMeasurement:
     header_text: str
     scans: List[TwixScan]
 
+    @property
+    def n_channels(self) -> int:
+        return len({s.channel for s in self.scans}) if self.scans else 0
+
     def kspace(self) -> np.ndarray:
         """[columns, lines, slices] complex128 (squeezed single-channel),
-        matching the reference's raw_K usage (Vent_Analysis.py:536-539)."""
+        matching the reference's raw_K usage (Vent_Analysis.py:536-539).
+
+        Multi-coil measurements raise — the reference's per-slice loop is
+        only defined for single-channel data; use kspace_multicoil() +
+        ventjax.ops.fft_recon.recon_2d_multislice_rss instead.
+        """
+        if self.n_channels > 1:
+            raise ValueError(
+                f"measurement has {self.n_channels} receive channels; "
+                "kspace() matches the reference's single-coil layout "
+                "[Col, Lin, Sli] — use kspace_multicoil() and a coil "
+                "combine (ventjax.ops.fft_recon.recon_2d_multislice_rss)"
+            )
+        return self.kspace_multicoil()[0]
+
+    def kspace_multicoil(self) -> np.ndarray:
+        """[channels, columns, lines, slices] complex128."""
         if not self.scans:
             raise ValueError("measurement contains no image scans")
+        chans = sorted({s.channel for s in self.scans})
+        ch_index = {c: i for i, c in enumerate(chans)}
         n_col = self.scans[0].data.shape[0]
         n_lin = max(s.line for s in self.scans) + 1
         n_sli = max(s.slice for s in self.scans) + 1
-        k = np.zeros((n_col, n_lin, n_sli), np.complex128)
+        k = np.zeros((len(chans), n_col, n_lin, n_sli), np.complex128)
         for s in self.scans:
-            k[:, s.line, s.slice] = s.data
+            k[ch_index[s.channel], :, s.line, s.slice] = s.data
         return k
 
 
@@ -138,12 +176,15 @@ def read_twix(path: str) -> TwixMeasurement:
 
 def write_synthetic_twix(
     path: str,
-    kspace: np.ndarray,                  # [columns, lines, slices] complex
+    kspace: np.ndarray,   # [columns, lines, slices] or [chan, col, lin, sli]
     protocol_name: str = "fl_gre_vent",
     scan_datetime: str = "2024-03-01 10:15:00",
 ) -> None:
-    """Write a VD/VE-layout .dat file for tests (one measurement, 1 channel)."""
-    n_col, n_lin, n_sli = kspace.shape
+    """Write a VD/VE-layout .dat file for tests (one measurement; single- or
+    multi-channel depending on kspace rank)."""
+    if kspace.ndim == 3:
+        kspace = kspace[None]
+    n_cha, n_col, n_lin, n_sli = kspace.shape
     header_text = (
         f'<XProtocol> tProtocolName = "{protocol_name}"\n'
         f'PrepareTimestamp = "{scan_datetime}"\n'
@@ -158,14 +199,16 @@ def write_synthetic_twix(
                              0, 0, 0, 0, 0)
             body += struct.pack(
                 _MDH_FMT,
-                0, 1, lin + 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, n_col, 1,
+                0, 1, lin + 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, n_col, n_cha,
                 bytes(loop), 0, n_col // 2, 0, 0.0, 0, n_lin // 2, 0,
                 b"\x00" * 28, b"\x00" * 48, b"\x00" * 16,
             )
-            body += struct.pack(_CH_FMT, 0, 1, lin + 1, 0, 0, 0, 0, 0, 0)
-            body += np.ascontiguousarray(
-                kspace[:, lin, sli], np.complex64
-            ).tobytes()
+            for cha in range(n_cha):
+                body += struct.pack(_CH_FMT, 0, 1, lin + 1, 0, 0, 0, cha,
+                                    0, 0)
+                body += np.ascontiguousarray(
+                    kspace[cha, :, lin, sli], np.complex64
+                ).tobytes()
     # ACQEND
     struct.pack_into("<14H", loop, 0, *([0] * 14))
     body += struct.pack(
