@@ -145,3 +145,33 @@ def test_study_presets_have_substance():
                           treatment="postAlb").endswith("visit2_postAlb")
     assert study_filename("clinical", md, clinical_id="AB", visit="1",
                           treatment="Albuterol").endswith("_Albuterol")
+
+
+def test_train_seg_and_auto_mask(tmp_path, capsys):
+    """train-seg produces a checkpoint that analyze --auto-mask consumes:
+    the full mask-free proton flow (VERDICT r1 item 8)."""
+    from ventjax.io.synthetic import write_study
+
+    study = str(tmp_path / "study")
+    write_study(study, shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=9)
+    ckpt = str(tmp_path / "ckpt")
+    rc = main(["train-seg", "--out", ckpt, "--steps", "60", "--batch", "4",
+               "--shape", "64", "64", "8", "--base", "8"])
+    assert rc == 0
+    train_info = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert train_info["final_loss"] < 0.6
+
+    out = str(tmp_path / "out")
+    rc = main([
+        "analyze", "--xenon", f"{study}/xenon.dcm",
+        "--proton", f"{study}/proton.dcm", "--auto-mask",
+        "--seg-ckpt", ckpt, "--seg-base", "8",
+        "--out", out, "--max-defect", "1024", "--no-ci",
+        "--disease", "CF",
+    ])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert np.isfinite(summary["VDP"]) and summary["LungVolume"] > 0
+    # the Disease line reaches the report path (screenshot rendered)
+    pngs = [f for f in os.listdir(out) if f.endswith(".png")]
+    assert pngs

@@ -38,3 +38,42 @@ def test_mesh_subset():
     mesh = make_batch_mesh(4)
     assert mesh.devices.shape == (4,)
     assert mesh.axis_names == ("batch",)
+
+
+def test_spatial_sharded_pipeline_matches_unsharded():
+    """The analysis pipeline under a ("batch","space") mesh with the volume
+    H axis spatially sharded (sharding annotations; XLA inserts the
+    collectives) matches the unsharded run (SURVEY §2.3 TP row)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.dist import make_batch_space_mesh, spatial_shard_fn
+    from ventjax.io.phantom import make_cohort
+    from ventjax.pipeline import analyze_cohort
+    from ventjax.pipeline.analyze import build_geometry
+
+    shape = (32, 32, 8)
+    vox = (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=256, ci_rmax=12,
+        n4_fitting_levels=2, n4_max_iters=10,
+    )
+    geom = build_geometry(vox, shape, cfg)
+    hp, mask, _ = make_cohort(4, shape=shape, vox=vox, seed=12)
+    hp = jnp.asarray(hp)
+    mask = jnp.asarray(mask)
+
+    fn = lambda h, m: analyze_cohort(h, m, geom, cfg)
+    mesh = make_batch_space_mesh(2, 4)
+    sharded = spatial_shard_fn(fn, mesh)
+    res_s = sharded(hp, mask)
+    res_u = jax.jit(fn)(hp, mask)
+    np.testing.assert_allclose(
+        np.asarray(res_s.metrics.vdp), np.asarray(res_u.metrics.vdp),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.ci_map), np.asarray(res_u.ci_map), atol=1e-6,
+    )
+    assert np.all(np.isfinite(np.asarray(res_s.metrics.vdp)))

@@ -1,3 +1,15 @@
-from ventjax.dist.mesh import make_batch_mesh, shard_cohort_fn, initialize_multihost
+from ventjax.dist.mesh import (
+    initialize_multihost,
+    make_batch_mesh,
+    make_batch_space_mesh,
+    shard_cohort_fn,
+    spatial_shard_fn,
+)
 
-__all__ = ["make_batch_mesh", "shard_cohort_fn", "initialize_multihost"]
+__all__ = [
+    "initialize_multihost",
+    "make_batch_mesh",
+    "make_batch_space_mesh",
+    "shard_cohort_fn",
+    "spatial_shard_fn",
+]

@@ -53,6 +53,42 @@ def shard_cohort_fn(
     )
 
 
+def make_batch_space_mesh(
+    n_batch: int,
+    n_space: int,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """A 2-D ("batch", "space") mesh: data-parallel subjects x spatially
+    sharded volumes (SURVEY.md §2.3 tensor-parallelism row)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[: n_batch * n_space]).reshape(
+        n_batch, n_space
+    )
+    return Mesh(devices, ("batch", "space"))
+
+
+def spatial_shard_fn(
+    cohort_fn: Callable,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    space_axis: str = "space",
+) -> Callable:
+    """jit the batched pipeline with inputs sharded [N@batch, H@space, W, D].
+
+    The TP analog for volumes too large per chip (SURVEY.md §2.3): the H
+    axis is sharded over the "space" mesh axis *inside the same pjit
+    program* — sharding annotations only, XLA derives every collective
+    (gathers for the volume-global sorts/reductions, halo exchanges for the
+    stencils).  Results are identical to the unsharded program; this trades
+    some collective traffic for fitting oversize volumes, exactly as the
+    SURVEY prescribes (mesh axes, not a separate engine)."""
+    from jax.sharding import NamedSharding
+
+    in_shard = NamedSharding(mesh, P(batch_axis, space_axis))
+    return jax.jit(cohort_fn, in_shardings=(in_shard, in_shard))
+
+
 def initialize_multihost(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
