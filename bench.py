@@ -27,7 +27,7 @@ REFERENCE_VOL_PER_SEC = 1.0 / 60.0  # CI.py prints elapsed minutes per subject
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--iters", type=int, default=10)
     p.add_argument("--shape", type=int, nargs=3, default=(128, 128, 16))
     p.add_argument(
         "--max-defect", type=int, default=0,
@@ -96,10 +96,13 @@ def main() -> None:
     )
     np.asarray(res.metrics.vdp)
 
+    # Chained dispatches, one sync at the end: measures steady-state device
+    # throughput; a per-iteration host sync costs ~30-45 ms on this tunnel
+    # and is not part of the pipeline (the cohort driver reads results off
+    # the critical path).
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        res = fn(hp, mask)
-        np.asarray(res.metrics.vdp)
+    outs = [fn(hp, mask) for _ in range(args.iters)]
+    np.asarray(outs[-1].metrics.vdp)
     dt = time.perf_counter() - t0
 
     vols_per_sec = args.batch * args.iters / dt

@@ -43,14 +43,17 @@ def vdp_kmeans(
     iters: int = 30,
     defect_clusters: int = 1,
     mask_pad: Optional[int] = None,
+    compacted=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Lloyd's k-means on masked intensities; lowest cluster(s) = defect.
 
     mask_pad statically bounds the masked-voxel count for the compacted
     iteration (None = full volume, always safe); excess voxels are ignored
     by the center fit — the pipeline passes its n4_mask_pad, whose overflow
-    flag covers this op too.  Returns (defect array 0/1 floats, VDP_km
-    percent).
+    flag covers this op too.  `compacted` optionally supplies
+    (vals, wv) already compacted over mask > 0 (the pipeline reuses N4's
+    compaction, saving this op's sort).  Returns (defect array 0/1 floats,
+    VDP_km percent).
     """
     dtype = jnp.float64 if n4.dtype == jnp.float64 else jnp.float32
     flat = n4.reshape(-1).astype(dtype)
@@ -60,8 +63,13 @@ def vdp_kmeans(
 
     from ventjax.ops.basic import sort_compact_masked
 
-    _, vals, n_m = sort_compact_masked(flat, flat_m, P)
-    wv = (jnp.arange(P) < n_m).astype(dtype)
+    if compacted is None:
+        _, vals, n_m = sort_compact_masked(flat, flat_m, P)
+        wv = (jnp.arange(P) < n_m).astype(dtype)
+    else:
+        vals, wv = compacted
+        vals = vals.astype(dtype)
+        wv = wv.astype(dtype)
 
     centers0 = _masked_quantiles(vals, wv, k)
 

@@ -165,7 +165,7 @@ def _bspline_rows(coords, n, n_elements, dtype):
     jax.jit,
     static_argnames=(
         "fitting_levels", "max_iters", "bins", "control_points",
-        "mask_pad", "return_field", "return_overflow",
+        "mask_pad", "return_field", "return_overflow", "return_compacted",
     ),
 )
 def n4_bias_correction(
@@ -181,25 +181,39 @@ def n4_bias_correction(
     mask_pad: Optional[int] = None,
     return_field: bool = False,
     return_overflow: bool = False,
+    return_compacted: bool = False,
+    compacted=None,
 ):
     """N4-corrected image.  mask_pad statically bounds the masked voxel
     count (default: the full volume — always safe); if the mask exceeds it,
     excess voxels are ignored and the overflow flag (return_overflow) is set.
+
+    `compacted` optionally supplies (idx, raw_vals, n_mask) from
+    ventjax.ops.basic.sort_compact_masked over the PLAIN mask (mask > 0) of
+    the flat image — the pipeline computes it once and shares it here and
+    with k-means.  The img > 0 sub-condition is applied through the weight
+    vector, so results equal the self-compacted path (all reductions are
+    weighted).  `return_compacted` appends (idx, corrected_vals, wv01) —
+    the compacted N4 output k-means consumes without its own sort.
     """
     H, W, D = image.shape
     V = H * W * D
     P = V if mask_pad is None else min(int(mask_pad), V)
     dtype = jnp.promote_types(image.dtype, jnp.float32)
     img = image.astype(dtype)
-    m = (mask > 0) & (img > 0)
 
     from ventjax.ops.basic import sort_compact_masked
 
-    flat_m = m.reshape(-1)
-    idx, raw_vals, n_mask = sort_compact_masked(
-        img.reshape(-1), flat_m, P
-    )
-    wv = (jnp.arange(P) < n_mask).astype(dtype)
+    if compacted is None:
+        m = (mask > 0) & (img > 0)
+        idx, raw_vals, n_mask = sort_compact_masked(
+            img.reshape(-1), m.reshape(-1), P
+        )
+        wv = (jnp.arange(P) < n_mask).astype(dtype)
+    else:
+        idx, raw_vals, n_mask = compacted
+        raw_vals = raw_vals.astype(dtype)
+        wv = ((jnp.arange(P) < n_mask) & (raw_vals > 0)).astype(dtype)
     overflow = n_mask > P
 
     vals = jnp.maximum(raw_vals, 1.0e-30)
@@ -308,4 +322,12 @@ def n4_bias_correction(
         out = out + (total_field,)
     if return_overflow:
         out = out + (overflow,)
+    if return_compacted:
+        # Compacted corrected values at the iteration's own field estimate
+        # (field_v; bf16-accumulated, ~1e-4 relative of the dense field) —
+        # k-means consumes these without re-sorting; its loose tolerances
+        # (centers are means over ~50k voxels) absorb the eps.
+        corrected_vals = raw_vals * jnp.exp(-field_v)
+        wv_mask_only = (jnp.arange(P) < n_mask).astype(dtype)
+        out = out + ((idx, corrected_vals, wv_mask_only),)
     return out if len(out) > 1 else out[0]

@@ -59,7 +59,14 @@ def analyze_study(
     with stage("snr"):
         snr = calculate_snr(hp, safe_mask, c.snr_fov_buffer)
     with stage("n4"):
-        n4, n4_overflow = n4_bias_correction(
+        # One mask compaction, shared by N4 (which sub-masks img > 0 via
+        # weights) and k-means (which consumes N4's compacted output).
+        from ventjax.ops.basic import sort_compact_masked
+
+        V = int(np.prod(hp.shape))
+        P = V if c.n4_mask_pad is None else min(int(c.n4_mask_pad), V)
+        comp = sort_compact_masked(hp.reshape(-1), safe_mask.reshape(-1) > 0, P)
+        n4, n4_overflow, n4_comp = n4_bias_correction(
             hp,
             safe_mask,
             fitting_levels=c.n4_fitting_levels,
@@ -71,6 +78,8 @@ def analyze_study(
             control_points=c.n4_control_points,
             mask_pad=c.n4_mask_pad,
             return_overflow=True,
+            return_compacted=True,
+            compacted=comp,
         )
     with stage("vdp_mean_anchored"):
         defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
@@ -80,9 +89,11 @@ def analyze_study(
             n4, safe_mask, c.lb_edges, c.lb_percentile
         )
     with stage("vdp_kmeans"):
+        _, n4_vals_c, wv_c = n4_comp
         defect_km, vdp_km = vdp_kmeans(
             n4, safe_mask, c.kmeans_clusters, c.kmeans_iters,
             c.kmeans_defect_clusters, mask_pad=c.n4_mask_pad,
+            compacted=(n4_vals_c, wv_c),
         )
     with stage("ci"):
         if isinstance(geom, CIPairwiseGeometry):
