@@ -243,6 +243,7 @@ def calculate_ci_pairwise(
     row_chunk: int = 1024,
     head_balls: int = 96,
     tail_k: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """CI map via the pairwise engine; returns (ci_map, n_saturated, overflow).
 
@@ -253,6 +254,11 @@ def calculate_ci_pairwise(
     crossing are compacted to `tail_k` lanes and finished by the full
     order-statistics engine.  Compaction overflow is reported in the
     overflow flag (excess rows saturate — never silently wrong).
+
+    use_pallas: None (default) auto-selects the Pallas VMEM head kernel on
+    TPU backends (ventjax.ops.ci_pallas — same f32 arithmetic, bit-equal,
+    tested); False forces the XLA head; True forces the kernel (interpreted
+    when the backend is CPU, for tests).
     """
     H, W, D = geom.shape
     K = max_defect_voxels
@@ -289,19 +295,40 @@ def calculate_ci_pairwise(
         fail_head = jnp.concatenate(fails, axis=1)
         return jnp.any(fail_head, axis=1), jnp.argmax(fail_head, axis=1)
 
-    n_chunks = -(-K // row_chunk)
-    kpad = n_chunks * row_chunk
-    pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
-    resolved, j_head = jax.lax.map(
-        head_block,
-        (
-            pad(ii).reshape(n_chunks, row_chunk),
-            pad(jj).reshape(n_chunks, row_chunk),
-            pad(kk).reshape(n_chunks, row_chunk),
-        ),
-    )
-    resolved = resolved.reshape(-1)[:K]
-    j_head = j_head.reshape(-1)[:K].astype(jnp.int32)
+    if use_pallas is None:
+        # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
+        # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
+        # at small K where kernel launch/tiling overhead dominates.
+        use_pallas = jax.default_backend() not in ("cpu",) and K >= 2048
+    if use_pallas and (K % min(128, K) or K % min(512, K)):
+        use_pallas = False  # non-tileable pad; the XLA head handles any K
+    if use_pallas:
+        from ventjax.ops.ci_pallas import head_counts_pallas
+
+        counts = head_counts_pallas(
+            ii, jj, kk, ii, jj, kk, r2[:ns],
+            combos=tuple(_alias_combos(geom)),
+            scale=geom.scale,
+            ns=ns,
+            interpret=jax.default_backend() == "cpu",
+        )
+        fail_head = counts < t_head[None, :]
+        resolved = jnp.any(fail_head, axis=1)
+        j_head = jnp.argmax(fail_head, axis=1).astype(jnp.int32)
+    else:
+        n_chunks = -(-K // row_chunk)
+        kpad = n_chunks * row_chunk
+        pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
+        resolved, j_head = jax.lax.map(
+            head_block,
+            (
+                pad(ii).reshape(n_chunks, row_chunk),
+                pad(jj).reshape(n_chunks, row_chunk),
+                pad(kk).reshape(n_chunks, row_chunk),
+            ),
+        )
+        resolved = resolved.reshape(-1)[:K]
+        j_head = j_head.reshape(-1)[:K].astype(jnp.int32)
     jballs = jnp.where(resolved, j_head, M - 1)
 
     # Phase B: compact unresolved rows (stable sort: unresolved first).
