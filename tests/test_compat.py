@@ -127,3 +127,27 @@ def test_process_raw_twix(tmp_path, rng):
             k.astype(np.complex128), axes=(0, 1)), axes=(0, 1)), axes=(0, 1)),
         (1, 0, 2))[:, ::-1, :]
     assert np.abs(img - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_pane_images_updateimages_parity(study):
+    """The GUI's updateImages panes as arrays (Vent_Analysis.py:722-759):
+    populated panes after VDP+CI, black 3x3 placeholders before."""
+    root, _ = study
+    v = Vent_Analysis(xenon_path=f"{root}/xenon.dcm",
+                      mask_path=f"{root}/mask")
+    panes = v.pane_images()
+    assert panes["raw"].shape[2] == 3 and panes["raw"].shape[0] > 3
+    assert panes["n4"].shape == (3, 3, 3)      # not computed yet
+    assert panes["ci"].shape == (3, 3, 3)
+
+    v.config = v.config.replace(ci_max_defect_voxels=1024)
+    v.calculate_VDP()
+    v.calculate_CI()
+    panes = v.pane_images()
+    H, W, D = np.asarray(v.HPvent).shape
+    for key in ("raw", "n4", "defect", "ci"):
+        assert panes[key].shape == (H, W * D, 3), key
+    # defect overlay paints pure red where defect is set
+    defect_m = v.array3D_to_montage2D(v.defectArray) > 0
+    assert np.all(panes["defect"][defect_m, 1] == 0)
+    assert np.all(panes["defect"][defect_m, 0] > 0)

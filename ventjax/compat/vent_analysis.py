@@ -298,6 +298,63 @@ class Vent_Analysis:
         for attr, value in pickle_dict.items():
             setattr(self, attr, value)
 
+    # ---- GUI-pane montage helpers (Vent_Analysis.py:644-645, 628-634,
+    # 722-759 updateImages) — the desktop panes as plain RGB arrays --------
+    @staticmethod
+    def array3D_to_montage2D(A):
+        """abs() slices in one row (Vent_Analysis.py:644-645)."""
+        from ventjax.report.montage import montage_row
+
+        return montage_row(np.asarray(A))
+
+    @staticmethod
+    def colorBinary(A, B):
+        """Gray montage with a binary overlay painted red, 0-255 RGB
+        (Vent_Analysis.py:628-634)."""
+        from ventjax.report.montage import color_binary
+
+        return color_binary(np.asarray(A), np.asarray(B))
+
+    def pane_images(self):
+        """The GUI's six image panes (updateImages, Vent_Analysis.py:722-759)
+        as a dict of RGB float arrays; panes whose inputs are missing map to
+        the GUI's 3x3 black placeholder, exactly like its try/excepts."""
+        blank = np.zeros((3, 3, 3))
+        panes = {"twix": blank}
+
+        def gray(m):
+            rng = m.max() - m.min()
+            m = m if rng == 0 else (m - m.min()) / rng
+            return np.stack([m, m, m], axis=-1) * 255
+
+        try:
+            panes["proton"] = gray(self.array3D_to_montage2D(self.proton))
+        except Exception:
+            panes["proton"] = blank
+        try:
+            border = self.array3D_to_montage2D(self.mask_border)
+            raw = self.array3D_to_montage2D(self.HPvent)
+            panes["raw"] = self.colorBinary(raw, border)
+        except Exception:
+            panes["raw"] = blank
+        try:
+            n4m = self.array3D_to_montage2D(self.N4HPvent)
+            border = self.array3D_to_montage2D(self.mask_border)
+            panes["n4"] = self.colorBinary(n4m, border)
+        except Exception:
+            panes["n4"] = blank
+        try:
+            defect = self.array3D_to_montage2D(self.defectArray)
+            panes["defect"] = self.colorBinary(n4m, defect)
+        except Exception:
+            panes["defect"] = blank
+        try:
+            ci = self.array3D_to_montage2D(self.CIarray)
+            panes["ci"] = self.colorBinary(n4m, ci)
+        except Exception:
+            panes["ci"] = blank
+        return panes
+
     def __repr__(self):
         string = (f"Vent_Analysis (ventjax) version {self.version}\n")
         for attr, value in vars(self).items():
