@@ -1,0 +1,247 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+Each config measures steady-state device throughput (volumes/sec/chip) for
+one slice of the reference pipeline, using the same methodology as the
+headline bench.py: compile + warm up, then chained dispatches with ONE host
+sync at the end (a per-iteration sync costs ~30-45 ms over this tunnel and
+is not part of the pipeline — the cohort driver reads results off the
+critical path).
+
+Configs (BASELINE.json "configs"):
+  1. mean-anchored + linear-binning VDP on a single 128x128x16 volume
+     (the reference CPU path is Vent_Analysis.py:244-257)
+  2. config 1 with N4 bias correction + 99th-pct normalization prepended
+     (Vent_Analysis.py:316-334, 254-257)
+  3. k-means VDP on the full-resolution 3-D volume (the reference's stub,
+     Vent_Analysis.py:259-261, made real)
+  4. CI defect-cluster-index map with the 1.5x1.5x10.0mm kernel
+     (CI.py:107-145)
+  5. batched cohort: 256 subjects, full N4+VDP+CI pipeline, shard_map over
+     the available device mesh (v5e-8 in the BASELINE statement; on a
+     single-chip runner the mesh has 1 device and the number reported is
+     per-chip — the sharding path itself is validated on a fake 8-device
+     CPU mesh by tests/test_dist.py and __graft_entry__.dryrun_multichip)
+
+Usage:
+  python benchmarks/run.py                 # all configs, one JSON line each
+  python benchmarks/run.py --configs 1 4   # subset
+  python benchmarks/run.py --write-results # also refresh benchmarks/RESULTS.md
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sync(x) -> None:
+    np.asarray(x)  # host transfer == reliable sync on this platform
+
+
+def _throughput(fn, args, n_vols: int, iters: int, probe) -> float:
+    """volumes/sec: `iters` chained dispatches, one sync at the end."""
+    _sync(probe(fn(*args)))  # warmup/compile
+    t0 = time.perf_counter()
+    outs = [fn(*args) for _ in range(iters)]
+    _sync(probe(outs[-1]))
+    dt = time.perf_counter() - t0
+    return n_vols * iters / dt
+
+
+def make_inputs(batch: int, shape, vox, seed: int = 0):
+    import jax.numpy as jnp
+
+    from ventjax.io.phantom import make_cohort
+
+    hp, mask, _ = make_cohort(batch, shape=shape, vox=vox, seed=seed)
+    return jnp.asarray(hp), jnp.asarray(mask)
+
+
+def bench_config(
+    n: int, batch: int, iters: int, shape=(128, 128, 16), vox=(1.5, 1.5, 10.0)
+) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.ops import (
+        n4_bias_correction,
+        vdp_kmeans,
+        vdp_linear_binning,
+        vdp_mean_anchored,
+    )
+    from ventjax.pipeline.analyze import analyze_cohort, build_geometry
+
+    hp, mask = make_inputs(batch, shape, vox)
+    c = DEFAULT_CONFIG
+    V = int(np.prod(shape))
+    max_mask = int(np.asarray((mask > 0).sum(axis=(1, 2, 3))).max())
+    n4_pad = min(V, -(-max_mask // 8192) * 8192)
+
+    if n == 1:
+        def f(h, m):
+            d, vdp = vdp_mean_anchored(h, m, c.vdp_thresh)
+            _, vdp_lb = vdp_linear_binning(h, m, c.lb_edges, c.lb_percentile)
+            return vdp + vdp_lb
+
+        fn = jax.jit(jax.vmap(f))
+        args = (hp, mask)
+        probe = lambda r: r
+        label = "vdp_mean_anchored+linear_binning"
+    elif n == 2:
+        def f(h, m):
+            n4 = n4_bias_correction(
+                h, m, mask_pad=n4_pad,
+                fitting_levels=c.n4_fitting_levels, max_iters=c.n4_max_iters,
+                convergence_threshold=c.n4_convergence_threshold,
+                bins=c.n4_histogram_bins, fwhm=c.n4_bias_fwhm,
+                wiener_noise=c.n4_wiener_noise,
+                control_points=c.n4_control_points,
+            )
+            d, vdp = vdp_mean_anchored(n4, m, c.vdp_thresh)
+            _, vdp_lb = vdp_linear_binning(n4, m, c.lb_edges, c.lb_percentile)
+            return vdp + vdp_lb
+
+        fn = jax.jit(jax.vmap(f))
+        args = (hp, mask)
+        probe = lambda r: r
+        label = "n4+99pct_norm+vdp"
+    elif n == 3:
+        def f(h, m):
+            _, vdp_km = vdp_kmeans(
+                h, m, c.kmeans_clusters, c.kmeans_iters,
+                c.kmeans_defect_clusters, mask_pad=n4_pad,
+            )
+            return vdp_km
+
+        fn = jax.jit(jax.vmap(f))
+        args = (hp, mask)
+        probe = lambda r: r
+        label = "kmeans_vdp"
+    elif n == 4:
+        from ventjax.ops.ci import calculate_ci_staged
+        from ventjax.ops.ci_pairwise import (
+            CIPairwiseGeometry,
+            calculate_ci_pairwise,
+        )
+
+        # Defect arrays from the real pipeline (sizing pass, not timed).
+        cfg0 = c.replace(ci_max_defect_voxels=8192, n4_mask_pad=n4_pad)
+        geom0 = build_geometry(vox, shape, cfg0)
+        res0 = jax.jit(lambda h, m: analyze_cohort(h, m, geom0, cfg0))(
+            hp, mask
+        )
+        defect = jnp.asarray(np.asarray(res0.defect))
+        n_def = int(np.asarray(res0.defect).sum(axis=(1, 2, 3)).max())
+        K = max(256, 1 << int(np.ceil(np.log2(max(n_def, 1)))))
+        geom = build_geometry(vox, shape, c.replace(ci_max_defect_voxels=K))
+        if isinstance(geom, CIPairwiseGeometry):
+            ci_one = lambda d: calculate_ci_pairwise(d, geom, K)[0]
+        else:
+            ci_one = lambda d: calculate_ci_staged(d, geom, K)[0]
+
+        fn = jax.jit(jax.vmap(ci_one))
+        args = (defect,)
+        probe = lambda r: r
+        label = f"ci_map_1.5x1.5x10.0 (defect pad {K})"
+    elif n == 5:
+        from ventjax.dist import make_batch_mesh, shard_cohort_fn
+
+        cohort = 256
+        hp, mask = make_inputs(cohort, shape, vox)
+        max_mask = int(np.asarray((mask > 0).sum(axis=(1, 2, 3))).max())
+        n4_pad = min(V, -(-max_mask // 8192) * 8192)
+        cfg0 = c.replace(ci_max_defect_voxels=8192, n4_mask_pad=n4_pad)
+        geom0 = build_geometry(vox, shape, cfg0)
+        res0 = jax.jit(lambda h, m: analyze_cohort(h, m, geom0, cfg0))(
+            hp[:16], mask[:16]
+        )
+        n_def = int(np.asarray(res0.defect).sum(axis=(1, 2, 3)).max())
+        K = max(256, 1 << int(np.ceil(np.log2(max(n_def, 1)))))
+        cfg = c.replace(ci_max_defect_voxels=2 * K, n4_mask_pad=n4_pad)
+        geom = build_geometry(vox, shape, cfg)
+
+        mesh = make_batch_mesh()
+        fn = jax.jit(shard_cohort_fn(
+            lambda h, m: analyze_cohort(h, m, geom, cfg), mesh
+        ))
+        args = (hp, mask)
+        probe = lambda r: r.metrics.vdp
+        n_dev = mesh.devices.size
+        res = fn(*args)
+        assert not bool(np.asarray(res.metrics.ci_overflow).any())
+        vols = _throughput(fn, args, cohort, max(2, 64 // (cohort // 16)), probe)
+        return {
+            "config": 5,
+            "label": f"cohort256_full_pipeline ({n_dev} device(s))",
+            "volumes_per_sec_per_chip": round(vols / n_dev, 3),
+            "batch": cohort,
+        }
+    else:
+        raise ValueError(n)
+
+    vols = _throughput(fn, args, batch, iters, probe)
+    return {
+        "config": n,
+        "label": label,
+        "volumes_per_sec_per_chip": round(vols, 3),
+        "batch": batch,
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--cpu", action="store_true")
+    p.add_argument("--write-results", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = []
+    for n in args.configs:
+        row = bench_config(n, args.batch, args.iters)
+        rows.append(row)
+        print(json.dumps(row))
+
+    if args.write_results:
+        import jax
+
+        dev = jax.devices()[0]
+        lines = [
+            "# Benchmark results (BASELINE.json configs)",
+            "",
+            f"Device: {dev.platform} ({dev.device_kind}); "
+            "128x128x16 volumes, vox 1.5x1.5x10.0mm, synthetic phantoms.",
+            "Methodology: chained dispatches, one host sync (see run.py).",
+            "",
+            "| # | Config | volumes/sec/chip |",
+            "|---|---|---|",
+        ]
+        for r in rows:
+            lines.append(
+                f"| {r['config']} | {r['label']} | "
+                f"{r['volumes_per_sec_per_chip']} |"
+            )
+        lines.append("")
+        lines.append(
+            "The reference CPU pipeline runs ~1 subject/min (its own "
+            "timing prints: seconds for N4, minutes for CI — BASELINE.md)."
+        )
+        with open("benchmarks/RESULTS.md", "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Pallas N4 fit kernels (ventjax/ops/n4_pallas.py) vs the XLA fit path.
+
+The kernels accumulate in plain f32 where the XLA path quantizes the
+outer-product operands to bf16, so the comparison is tolerance-based: both
+must stay inside the float64 oracle's envelope, and the Pallas path (being
+full f32) must be at least as close to the oracle as the XLA path.  On CPU
+the kernels run in interpreter mode.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ventjax.io.phantom import make_cohort, make_phantom
+from ventjax.ops.n4 import n4_bias_correction
+
+
+def _rel(a, b, m):
+    return (np.abs(a - b)[m] / (np.abs(b)[m] + 1e-6)).max()
+
+
+def test_pallas_fit_matches_xla_and_oracle():
+    ph = make_phantom(shape=(64, 64, 8), seed=7)
+    img = jnp.asarray(np.asarray(ph.hp, np.float32))
+    mask = jnp.asarray(np.asarray(ph.mask, np.float32))
+    m = np.asarray(ph.mask) > 0
+
+    out_x = np.asarray(n4_bias_correction(img, mask, use_pallas=False))
+    out_p = np.asarray(n4_bias_correction(img, mask, use_pallas=True))
+    assert _rel(out_p, out_x, m) < 2e-3  # bf16-vs-f32 fit envelope
+
+    from ventjax.oracle.n4_oracle import n4_bias_correction_oracle
+
+    oc = n4_bias_correction_oracle(
+        np.asarray(ph.hp, np.float64), np.asarray(ph.mask)
+    )
+    oc = np.asarray(oc[0] if isinstance(oc, tuple) else oc)
+    rel_p = _rel(out_p, oc, m)
+    rel_x = _rel(out_x, oc, m)
+    assert rel_p < 1e-4          # f32 fit tracks the f64 oracle closely
+    assert rel_p <= rel_x + 1e-7  # ... at least as well as the bf16 fit
+
+
+def test_pallas_fit_vmap_consistent():
+    hp, mask, _ = make_cohort(2, shape=(64, 64, 8), vox=(1.5, 1.5, 10.0),
+                              seed=0)
+    hp = jnp.asarray(hp)
+    mask = jnp.asarray(mask)
+    f = lambda h, m: n4_bias_correction(h, m, use_pallas=True)
+    batched = np.asarray(jax.jit(jax.vmap(f))(hp, mask))
+    for i in range(2):
+        single = np.asarray(f(hp[i], mask[i]))
+        m = np.asarray(mask[i]) > 0
+        # vmap reorders reductions (both fit paths show this); the result
+        # must stay within the iteration's own convergence tolerance.
+        assert _rel(batched[i], single, m) < 2e-3

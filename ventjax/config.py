@@ -99,6 +99,11 @@ class VentConfig:
     # StudyMetrics.n4_overflow and means excess voxels were ignored by the
     # fit — raise the pad if it ever fires.
     n4_mask_pad: int = 65536
+    # B-spline fit implementation: None = auto (Pallas VMEM kernels on TPU
+    # when the pad is PC-aligned, XLA outer-product matmuls otherwise);
+    # True/False force one path.  Both are oracle-validated
+    # (tests/test_n4_pallas.py); see ventjax/ops/n4_pallas.py.
+    n4_use_pallas: "bool | None" = None
 
     # ---- Report / screenshot (Vent_Analysis.py:458-520) ----------------------
     # Parula LUT index = int(CI * parula_scale_num / parula_scale_den)

@@ -166,6 +166,7 @@ def _bspline_rows(coords, n, n_elements, dtype):
     static_argnames=(
         "fitting_levels", "max_iters", "bins", "control_points",
         "mask_pad", "return_field", "return_overflow", "return_compacted",
+        "use_pallas",
     ),
 )
 def n4_bias_correction(
@@ -183,6 +184,7 @@ def n4_bias_correction(
     return_overflow: bool = False,
     return_compacted: bool = False,
     compacted=None,
+    use_pallas: Optional[bool] = None,
 ):
     """N4-corrected image.  mask_pad statically bounds the masked voxel
     count (default: the full volume — always safe); if the mask exceeds it,
@@ -195,6 +197,14 @@ def n4_bias_correction(
     vector, so results equal the self-compacted path (all reductions are
     weighted).  `return_compacted` appends (idx, corrected_vals, wv01) —
     the compacted N4 output k-means consumes without its own sort.
+
+    use_pallas routes the B-spline fit phase through the VMEM kernels in
+    ventjax.ops.n4_pallas (num/den/delta with basis rows rebuilt in VMEM
+    from coordinates — ~25x less HBM traffic per iteration than the XLA
+    outer-product operands).  None = auto: TPU backend and PC-aligned pad;
+    True on a CPU backend runs the kernels in interpreter mode (tests).
+    The kernels accumulate in plain float32 where the XLA path uses bf16
+    operands — both are validated against the float64 oracle.
     """
     H, W, D = image.shape
     V = H * W * D
@@ -225,42 +235,106 @@ def n4_bias_correction(
     padded = _next_pow2_padded(bins)
     offset = (padded - bins) // 2
 
+    from ventjax.ops.n4_pallas import (
+        PC as _PC,
+        fit_delta_pallas,
+        fit_moment_pallas,
+    )
+
+    pad_ok = P % _PC == 0
+    auto_ok = jax.default_backend() not in ("cpu",) and pad_ok
+    interpret = jax.default_backend() == "cpu"
+
     field_v = jnp.zeros(P, dtype)
     phi_totals = []
     for level in range(fitting_levels):
         n_elements = (control_points - 3) * 2 ** level
         ncp = n_elements + 3
         # Per-voxel basis rows / normalizers (computed analytically — no
-        # table gathers), and the iteration-invariant col(x)slice
-        # outer-product rows: with BO[p, d*e] = bcv[p,d]*bsv[p,e], the
-        # 3-way point contraction num[c,d,e] = sum_p a_p br_p[c] bc_p[d]
-        # bs_p[e] collapses to the skinny matmul (a*brv)^T @ BO — no
-        # [P,c,d] materialization.
+        # table gathers).
         brv = _bspline_rows(hc, H, n_elements, dtype)
         bcv = _bspline_rows(wc, W, n_elements, dtype)
         bsv = _bspline_rows(sc, D, n_elements, dtype)
         sv = ((brv ** 2).sum(1) * (bcv ** 2).sum(1) * (bsv ** 2).sum(1))
-        # Per-iteration matmul operands live in bf16: at [P, ncp^2] they are
-        # the dominant HBM traffic of every iteration (re-read twice per
-        # step), and the MXU accumulates their products in f32.  The basis
-        # values are in [0,1], so bf16 quantization perturbs the *smooth
-        # fitted field* at ~1e-3 relative — far inside the |dVDP| budget
-        # (validated against the float64 oracle in tests/test_n4.py).
-        bo = (bcv[:, :, None] * bsv[:, None, :]).reshape(P, ncp * ncp)
-        bo3 = (bcv[:, :, None] ** 3 * bsv[:, None, :] ** 3).reshape(P, ncp * ncp)
-        bo2 = (bcv[:, :, None] ** 2 * bsv[:, None, :] ** 2).reshape(P, ncp * ncp)
-        brv3 = brv ** 3
-        bo_h = bo.astype(jnp.bfloat16)
-        bo3_h = bo3.astype(jnp.bfloat16)
         hi = jax.lax.Precision.HIGH
-
-        den = jnp.einsum(
-            "pc,pf->cf", wv[:, None] * brv ** 2, bo2, precision=hi
+        t_scales = tuple(
+            float(n_elements) / float(max(n - 1, 1)) for n in (H, W, D)
         )
+
+        # Per-LEVEL choice: the VMEM kernels' cost is ncp-independent
+        # (always FP=128-padded rows) while the XLA fit scales with ncp^2,
+        # so Pallas only wins at the finest level (measured on v5e:
+        # 0.96 vs 1.47 ms/iter/batch16 at ncp=11, but 0.96 vs ~0.2 at
+        # ncp=4).  Auto = Pallas iff ncp^2 >= 100.
+        if use_pallas is None:
+            lvl_pallas = auto_ok and ncp * ncp >= 100
+        else:
+            lvl_pallas = bool(use_pallas) and pad_ok
+
+        if lvl_pallas:
+            # VMEM fit kernels (ventjax/ops/n4_pallas.py): basis rows are
+            # rebuilt in VMEM from the int32 coordinates each step, so no
+            # [P, ncp^2] operand ever exists.
+            den_p = fit_moment_pallas(
+                wv, hc, wc, sc, ncp, t_scales, power=2, interpret=interpret
+            )
+
+            def fit_phase(a_v, ncp=ncp, t_scales=t_scales, den_p=den_p):
+                num_p = fit_moment_pallas(
+                    a_v, hc, wc, sc, ncp, t_scales, power=3,
+                    interpret=interpret,
+                )
+                phi_p = jnp.where(
+                    den_p != 0.0,
+                    num_p / jnp.where(den_p != 0.0, den_p, 1.0), 0.0,
+                )
+                delta = fit_delta_pallas(
+                    phi_p, hc, wc, sc, ncp, t_scales, interpret=interpret
+                )
+                return phi_p[:ncp, : ncp * ncp], delta
+        else:
+            # XLA fit: iteration-invariant outer-product operands
+            # BO^k[p, d*ncp+e] = bcv^k[p,d] * bsv^k[p,e]; the 3-way point
+            # contraction num[c,d,e] = sum_p a_p br^3_p[c] bc^3_p[d]
+            # bs^3_p[e] collapses to the skinny matmul (a*brv^3)^T @ BO3.
+            # The per-iteration operands live in bf16: at [P, ncp^2] they
+            # are the dominant HBM traffic of every iteration, and the MXU
+            # accumulates their products in f32.  Basis values are in
+            # [0,1], so bf16 quantization perturbs the *smooth fitted
+            # field* at ~1e-3 relative — far inside the |dVDP| budget
+            # (validated against the float64 oracle in tests/test_n4.py).
+            bo = (bcv[:, :, None] * bsv[:, None, :]).reshape(P, ncp * ncp)
+            bo3 = (bcv[:, :, None] ** 3 * bsv[:, None, :] ** 3).reshape(
+                P, ncp * ncp)
+            bo2 = (bcv[:, :, None] ** 2 * bsv[:, None, :] ** 2).reshape(
+                P, ncp * ncp)
+            brv3 = brv ** 3
+            bo_h = bo.astype(jnp.bfloat16)
+            bo3_h = bo3.astype(jnp.bfloat16)
+            den = jnp.einsum(
+                "pc,pf->cf", wv[:, None] * brv ** 2, bo2, precision=hi
+            )
+
+            def fit_phase(a_v, den=den, brv=brv, brv3=brv3, bo=bo_h,
+                          bo3=bo3_h, ncp=ncp):
+                num = jnp.einsum(
+                    "pc,pf->cf",
+                    (a_v[:, None] * brv3).astype(jnp.bfloat16), bo3,
+                    preferred_element_type=jnp.float32,
+                )
+                phi = jnp.where(
+                    den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0
+                )
+                # delta_p = sum_c brv[p,c] * (BO @ phi[c,:]^T)[p,c]
+                g = jnp.einsum(
+                    "pf,cf->pc", bo, phi.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )
+                return phi, jnp.sum(brv * g, axis=1)
+
         phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
 
-        def body(carry, den=den, brv=brv, brv3=brv3, bo=bo_h, bo3=bo3_h,
-                 sv=sv, ncp=ncp):
+        def body(carry, fit_phase=fit_phase, sv=sv):
             i, field_v, phi_total, done = carry
             logu = (logv - field_v) * wv
             sharpened = _sharpen_vec(
@@ -270,16 +344,7 @@ def n4_bias_correction(
             # flush sub-normals (CPU denormal emulation is ~100x slower)
             residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
             a_v = residual / jnp.maximum(sv, 1e-30)
-            num = jnp.einsum(
-                "pc,pf->cf", (a_v[:, None] * brv3).astype(jnp.bfloat16), bo3,
-                preferred_element_type=jnp.float32,
-            )
-            phi = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0),
-                            0.0)
-            # delta_p = sum_c brv[p,c] * (BO @ phi[c,:]^T)[p,c]
-            g = jnp.einsum("pf,cf->pc", bo, phi.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-            delta = jnp.sum(brv * g, axis=1)
+            phi, delta = fit_phase(a_v)
             delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta) * wv
 
             # ITK's convergence measurement: CV of exp(old - new) = exp(-delta)

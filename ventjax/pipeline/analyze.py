@@ -80,6 +80,7 @@ def analyze_study(
             return_overflow=True,
             return_compacted=True,
             compacted=comp,
+            use_pallas=c.n4_use_pallas,
         )
     with stage("vdp_mean_anchored"):
         defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
