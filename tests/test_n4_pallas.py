@@ -1,10 +1,11 @@
 """Pallas N4 fit kernels (ventjax/ops/n4_pallas.py) vs the XLA fit path.
 
-The kernels accumulate in plain f32 where the XLA path quantizes the
-outer-product operands to bf16, so the comparison is tolerance-based: both
-must stay inside the float64 oracle's envelope, and the Pallas path (being
-full f32) must be at least as close to the oracle as the XLA path.  On CPU
-the kernels run in interpreter mode.
+Both paths quantize the MXU contraction operands to bf16 (f32
+accumulation) — the same envelope the XLA fit has carried since the bf16
+operand change — so the comparison is tolerance-based: both must stay
+inside the float64 oracle's bf16 envelope (2e-3 rel on the corrected
+image; the binding fidelity budget is downstream |dVDP| < 0.1pp, asserted
+in tests/test_n4.py).  On CPU the kernels run in interpreter mode.
 """
 import numpy as np
 import jax
@@ -36,8 +37,8 @@ def test_pallas_fit_matches_xla_and_oracle():
     oc = np.asarray(oc[0] if isinstance(oc, tuple) else oc)
     rel_p = _rel(out_p, oc, m)
     rel_x = _rel(out_x, oc, m)
-    assert rel_p < 1e-4          # f32 fit tracks the f64 oracle closely
-    assert rel_p <= rel_x + 1e-7  # ... at least as well as the bf16 fit
+    assert rel_p < 2e-3          # bf16-operand fit vs the f64 oracle
+    assert rel_x < 2e-3
 
 
 def test_pallas_fit_vmap_consistent():

@@ -47,6 +47,55 @@ def _dft_mats_np(padded: int):
     return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
+def _sharpen_expectation(hist, binmin, slope, bins, fwhm, wiener_noise,
+                         padded, offset):
+    """(bins+2)-entry local expectation slice from the fractional histogram.
+
+    The Wiener-deconvolution sharpening core of ITK's N4 (tests pin the
+    full op against the float64 oracle): Gaussian-blur kernel in the
+    padded-DFT domain, deconvolve the histogram, take the conditional
+    expectation E[u|v], and slice the entries reachable by masked voxels
+    (t+1 in [1, bins] -> slots offset-1 .. offset+bins of the padded
+    axis).  All transforms are the 512-pt DFT-as-matmul (_dft_mats_np) —
+    at this size a dense MXU matmul beats jnp.fft on TPU.
+    """
+    dtype = hist.dtype
+    hiprec = jax.lax.Precision.HIGH
+    cosm, sinm = _dft_mats_np(padded)
+    Fc = jnp.asarray(cosm, dtype)
+    Fs = jnp.asarray(sinm, dtype)
+    dot = lambda x, M: jnp.einsum("i,ij->j", x, M, precision=hiprec)
+    fwd = lambda x: (dot(x, Fc), -dot(x, Fs))            # FFT of a real vector
+    inv_real = lambda xr, xi: (dot(xr, Fc) - dot(xi, Fs)) / padded
+
+    v = jnp.zeros(padded, dtype).at[offset:offset + bins].set(hist)
+    vr, vi = fwd(v)
+
+    scaled_fwhm = fwhm / slope
+    exp_factor = 4.0 * LOG2 / scaled_fwhm ** 2
+    scale_factor = 2.0 * jnp.sqrt(LOG2 / jnp.pi) / scaled_fwhm
+    n = jnp.arange(padded)
+    half = jnp.minimum(n, padded - n).astype(dtype)
+    fkernel = scale_factor * jnp.exp(-(half ** 2) * exp_factor)
+    fr, fi = fwd(fkernel)
+
+    # Wiener deconvolution gf = conj(ff) / (|ff|^2 + noise).
+    gdenom = fr * fr + fi * fi + wiener_noise
+    gr = fr / gdenom
+    gi = -fi / gdenom
+    u = jnp.maximum(inv_real(vr * gr - vi * gi, vr * gi + vi * gr), 0.0)
+
+    bin_u = binmin + (n.astype(dtype) - offset) * slope
+    yr, yi = fwd(u * bin_u)
+    num = inv_real(yr * fr - yi * fi, yr * fi + yi * fr)
+    ur, ui = fwd(u)
+    den = inv_real(ur * fr - ui * fi, ur * fi + ui * fr)
+    expectation = jnp.where(
+        den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0
+    )
+    return jax.lax.dynamic_slice(expectation, (offset - 1,), (bins + 2,))
+
+
 def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
     """Histogram-sharpen a padded masked-value vector (weights wv in {0,1}).
 
@@ -91,41 +140,11 @@ def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
         + jnp.einsum("pg,pl->gl", A1 * w1[:, None], C1, precision=hiprec)
     )
     hist = h2d.reshape(NG * GL)[:bins]
-
-    cosm, sinm = _dft_mats_np(padded)
-    Fc = jnp.asarray(cosm, dtype)
-    Fs = jnp.asarray(sinm, dtype)
-    dot = lambda x, M: jnp.einsum("i,ij->j", x, M, precision=hiprec)
-    fwd = lambda x: (dot(x, Fc), -dot(x, Fs))            # FFT of a real vector
-    inv_real = lambda xr, xi: (dot(xr, Fc) - dot(xi, Fs)) / padded
-
-    v = jnp.zeros(padded, dtype).at[offset:offset + bins].set(hist)
-    vr, vi = fwd(v)
-
-    scaled_fwhm = fwhm / slope
-    exp_factor = 4.0 * LOG2 / scaled_fwhm ** 2
-    scale_factor = 2.0 * jnp.sqrt(LOG2 / jnp.pi) / scaled_fwhm
-    n = jnp.arange(padded)
-    half = jnp.minimum(n, padded - n).astype(dtype)
-    fkernel = scale_factor * jnp.exp(-(half ** 2) * exp_factor)
-    fr, fi = fwd(fkernel)
-
-    # Wiener deconvolution gf = conj(ff) / (|ff|^2 + noise).
-    gdenom = fr * fr + fi * fi + wiener_noise
-    gr = fr / gdenom
-    gi = -fi / gdenom
-    u = jnp.maximum(inv_real(vr * gr - vi * gi, vr * gi + vi * gr), 0.0)
-
-    bin_u = binmin + (n.astype(dtype) - offset) * slope
-    yr, yi = fwd(u * bin_u)
-    num = inv_real(yr * fr - yi * fi, yr * fi + yi * fr)
-    ur, ui = fwd(u)
-    den = inv_real(ur * fr - ui * fi, ur * fi + ui * fr)
-    expectation = jnp.where(den != 0.0, num / jnp.where(den != 0.0, den, 1.0), 0.0)
-
+    e_loc = _sharpen_expectation(
+        hist, binmin, slope, bins, fwhm, wiener_noise, padded, offset
+    )
     # linear interp of E at t+offset: same one-hot split over the
     # (bins+2)-entry slice of E that masked positions can touch.
-    e_loc = jax.lax.dynamic_slice(expectation, (offset - 1,), (bins + 2,))
     E2d = jnp.zeros(NG * GL, dtype).at[:bins + 2].set(e_loc).reshape(NG, GL)
     s = t + 1.0
     j0 = jnp.floor(s)
@@ -237,13 +256,23 @@ def n4_bias_correction(
 
     from ventjax.ops.n4_pallas import (
         PC as _PC,
-        fit_delta_pallas,
+        basis_rows_padded,
+        fit_delta_conv_pallas,
         fit_moment_pallas,
+        sharpen_hist_pallas,
+        sharpen_resid_pallas,
     )
 
     pad_ok = P % _PC == 0
     auto_ok = jax.default_backend() not in ("cpu",) and pad_ok
     interpret = jax.default_backend() == "cpu"
+    # The sharpen kernels are ncp-independent — profitable at every level
+    # whenever the pad allows them (the per-LEVEL choice below only governs
+    # the B-spline fit, whose XLA form wins at small ncp).
+    if use_pallas is None:
+        sharpen_use = auto_ok
+    else:
+        sharpen_use = bool(use_pallas) and pad_ok
 
     field_v = jnp.zeros(P, dtype)
     phi_totals = []
@@ -257,9 +286,6 @@ def n4_bias_correction(
         bsv = _bspline_rows(sc, D, n_elements, dtype)
         sv = ((brv ** 2).sum(1) * (bcv ** 2).sum(1) * (bsv ** 2).sum(1))
         hi = jax.lax.Precision.HIGH
-        t_scales = tuple(
-            float(n_elements) / float(max(n - 1, 1)) for n in (H, W, D)
-        )
 
         # Per-LEVEL choice: the VMEM kernels' cost is ncp-independent
         # (always FP=128-padded rows) while the XLA fit scales with ncp^2,
@@ -272,26 +298,36 @@ def n4_bias_correction(
             lvl_pallas = bool(use_pallas) and pad_ok
 
         if lvl_pallas:
-            # VMEM fit kernels (ventjax/ops/n4_pallas.py): basis rows are
-            # rebuilt in VMEM from the int32 coordinates each step, so no
-            # [P, ncp^2] operand ever exists.
+            # VMEM fit kernels (ventjax/ops/n4_pallas.py): the kernels
+            # stream the iteration-invariant powered basis ROWS ([CP, P]
+            # bf16 — 25x smaller than the [P, ncp^2] outer-product
+            # operands) and build the outer product on the fly in VMEM.
+            br1 = basis_rows_padded(brv, 1)
+            bc1 = basis_rows_padded(bcv, 1)
+            bs1 = basis_rows_padded(bsv, 1)
+            br3 = basis_rows_padded(brv, 3)
+            bc3 = basis_rows_padded(bcv, 3)
+            bs3 = basis_rows_padded(bsv, 3)
             den_p = fit_moment_pallas(
-                wv, hc, wc, sc, ncp, t_scales, power=2, interpret=interpret
+                wv,
+                basis_rows_padded(brv, 2), basis_rows_padded(bcv, 2),
+                basis_rows_padded(bsv, 2),
+                ncp, interpret=interpret,
             )
 
-            def fit_phase(a_v, ncp=ncp, t_scales=t_scales, den_p=den_p):
+            def fit_phase(a_v, ncp=ncp, den_p=den_p, br1=br1, bc1=bc1,
+                          bs1=bs1, br3=br3, bc3=bc3, bs3=bs3):
                 num_p = fit_moment_pallas(
-                    a_v, hc, wc, sc, ncp, t_scales, power=3,
-                    interpret=interpret,
+                    a_v, br3, bc3, bs3, ncp, interpret=interpret
                 )
                 phi_p = jnp.where(
                     den_p != 0.0,
                     num_p / jnp.where(den_p != 0.0, den_p, 1.0), 0.0,
                 )
-                delta = fit_delta_pallas(
-                    phi_p, hc, wc, sc, ncp, t_scales, interpret=interpret
+                d, s1, s2 = fit_delta_conv_pallas(
+                    phi_p, br1, bc1, bs1, wv, ncp, interpret=interpret
                 )
-                return phi_p[:ncp, : ncp * ncp], delta
+                return phi_p[:ncp, : ncp * ncp], d, s1, s2
         else:
             # XLA fit: iteration-invariant outer-product operands
             # BO^k[p, d*ncp+e] = bcv^k[p,d] * bsv^k[p,e]; the 3-way point
@@ -334,26 +370,57 @@ def n4_bias_correction(
 
         phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
 
-        def body(carry, fit_phase=fit_phase, sv=sv):
+        def body(carry, fit_phase=fit_phase, sv=sv, lvl_pallas=lvl_pallas):
             i, field_v, phi_total, done = carry
             logu = (logv - field_v) * wv
-            sharpened = _sharpen_vec(
-                logu, wv, bins, fwhm, wiener_noise, padded, offset
-            )
-            residual = (logu - sharpened) * wv
-            # flush sub-normals (CPU denormal emulation is ~100x slower)
-            residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
-            a_v = residual / jnp.maximum(sv, 1e-30)
-            phi, delta = fit_phase(a_v)
-            delta = jnp.where(jnp.abs(delta) < 1e-18, 0.0, delta) * wv
+            if sharpen_use:
+                # Pallas sharpen: the histogram build and the E-interp /
+                # residual run in VMEM (ventjax/ops/n4_pallas.py); only
+                # the tiny 512-pt Wiener-sharpening chain stays in XLA.
+                binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
+                binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
+                slope = (binmax - binmin) / (bins - 1)
+                hist = sharpen_hist_pallas(
+                    logu, wv, binmin, slope, bins, interpret=interpret
+                )
+                e_loc = _sharpen_expectation(
+                    hist, binmin, slope, bins, fwhm, wiener_noise, padded,
+                    offset,
+                )
+                e256 = jnp.zeros(256, dtype).at[:bins + 2].set(e_loc)
+                a_v = sharpen_resid_pallas(
+                    logu, wv, sv, e256, binmin, slope, bins,
+                    interpret=interpret,
+                )
+            else:
+                sharpened = _sharpen_vec(
+                    logu, wv, bins, fwhm, wiener_noise, padded, offset
+                )
+                residual = (logu - sharpened) * wv
+                # flush sub-normals (CPU denormal emulation is ~100x slower)
+                residual = jnp.where(
+                    jnp.abs(residual) < 1e-18, 0.0, residual
+                )
+                a_v = residual / jnp.maximum(sv, 1e-30)
 
-            # ITK's convergence measurement: CV of exp(old - new) = exp(-delta)
-            # over the mask (itkN4BiasFieldCorrectionImageFilter.hxx).
-            ed = jnp.exp(-delta)
+            # ITK's convergence measurement: CV of exp(old - new) =
+            # exp(-delta) over the mask
+            # (itkN4BiasFieldCorrectionImageFilter.hxx).
             nmask = jnp.sum(wv)
-            mu = jnp.sum(ed * wv) / nmask
-            sd = jnp.sqrt(jnp.sum(wv * (ed - mu) ** 2) / nmask)
-            cv = sd / mu
+            if lvl_pallas:
+                # delta kernel also accumulates the convergence sums
+                # around ed - 1 (one-pass variance, cancellation-free).
+                phi, delta, s1, s2 = fit_phase(a_v)
+                mu = 1.0 + s1 / nmask
+                var = jnp.maximum((s2 - s1 * s1 / nmask) / nmask, 0.0)
+                cv = jnp.sqrt(var) / mu
+            else:
+                phi, raw = fit_phase(a_v)
+                delta = jnp.where(jnp.abs(raw) < 1e-18, 0.0, raw) * wv
+                ed = jnp.exp(-delta)
+                mu = jnp.sum(ed * wv) / nmask
+                sd = jnp.sqrt(jnp.sum(wv * (ed - mu) ** 2) / nmask)
+                cv = sd / mu
 
             new_field = jnp.where(done, field_v, field_v + delta)
             new_phi = jnp.where(done, phi_total, phi_total + phi)

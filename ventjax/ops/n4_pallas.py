@@ -4,37 +4,41 @@ The XLA fit (ventjax/ops/n4.py) materializes the outer-product basis
 operands bo^k = (bcv^k ⊗ bsv^k) as [P, ncp^2] arrays and re-reads them from
 HBM on every while-loop iteration (~28 MB/lane/iter in bf16 at ncp=11) —
 measured at ~1.5 ms/iter/batch16, the single largest slice of the fused
-pipeline (benchmarks/n4_micro.py).  These kernels rebuild the cubic
-B-spline basis *in VMEM from the int32 voxel coordinates* (the same
-analytic cardinal form as ops/n4.py:_bspline_rows) and form the outer
-product on the fly, so HBM traffic per iteration drops to the coordinate
-and weight vectors (~1 MB/lane/iter) and the MXU contraction runs out of
-VMEM:
+pipeline (benchmarks/n4_micro.py).  These kernels instead read the 1-D
+powered basis ROWS (prepared once per level, [CP, P] bf16 — 25x smaller
+than the outer-product operands) and form the ncp^2-wide outer product on
+the fly in VMEM, so HBM traffic per iteration drops to the basis rows and
+weight vectors (~6 MB/lane/iter) and the MXU contraction runs out of VMEM:
 
-- fit_moment_pallas: mom[c, d*ncp+e] = sum_p a_p br^k[p,c] bc^k[p,d]
-  bs^k[p,e] — with (a = a_v, k = 3) this is the fit numerator `num`, with
+- fit_moment_pallas: mom[c, d*ncp+e] = sum_p a_p br^k[c,p] bc^k[d,p]
+  bs^k[e,p] — with (a = a_v, k = 3) this is the fit numerator `num`, with
   (a = wv, k = 2) the denominator `den`.
-- fit_delta_pallas: delta[p] = sum_{c,d,e} phi[c,d*ncp+e] br[p,c] bc[p,d]
-  bs[p,e] — the per-voxel field update, evaluated as a [16,128] @
+- fit_delta_pallas: delta[p] = sum_{c,d,e} phi[c,d*ncp+e] br[c,p] bc[d,p]
+  bs[e,p] — the per-voxel field update, evaluated as a [16,128] @
   [128, PC] matmul against the VMEM outer product.
 
-Mosaic-lowering note: the [FP, PC] outer-product rows (row f = column
-d = f//ncp of bc times column e = f%ncp of bs) are produced by two static
-one-hot selection matmuls over the [CP, PC] basis sets — flat 2-D
-arithmetic only.  Row gathers do not lower in Mosaic, and evaluating the
-splines directly at all FP rows costs ~8x the VPU work (measured: it
-erased the kernel's win: 316 -> 147 vol/s).  Selection rows beyond ncp^2
-are zero, which is exactly the padding the contraction needs.
+Evolution notes (each step measured on the fused pipeline / micro-bench):
+1. Rebuilding the basis analytically in VMEM from int32 coordinates made
+   the kernels VPU-bound (~3M spline-eval ops per block vs ~1.2M for all
+   the rest); hoisting the iteration-invariant rows to HBM trades that for
+   a ~6 MB/lane/iter read.  2. The [FP, PC] outer-product rows (row f =
+   column d = f//ncp of bc times column e = f%ncp of bs) are produced by
+   two static one-hot selection matmuls — row gathers do not lower in
+   Mosaic, and evaluating splines directly at all FP rows costs ~8x the
+   VPU work (measured: 316 -> 147 vol/s).  Selection rows beyond ncp^2 are
+   zero, which is exactly the padding the contraction needs.  3. MXU
+   operands are bf16 (f32 accumulation — Mosaic requires 32-bit matmul
+   acc): the same quantization the XLA path applies to its bo operands,
+   validated against the float64 oracle (tests/test_n4_pallas.py,
+   tests/test_n4.py).  4. PC=4096 vs 8192 measured identical — the grid
+   overhead is not the floor.
 
-Arithmetic is plain float32 (the XLA path quantizes bo to bf16; tests
-assert both land inside the float64 oracle's tolerance).  Padded voxels
-must carry a = 0 (the moment kernel) — delta at padded voxels is garbage
-and is masked by wv outside, exactly like the XLA path.
+Padded voxels must carry a = 0 (the moment kernel) — delta at padded
+voxels is garbage and is masked by wv outside, exactly like the XLA path.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,46 +51,15 @@ FP = 128    # padded ncp^2 lanes
 PC = 4096   # voxels per grid step (keeps the [FP, PC] temps in VMEM)
 
 
-def _spline(x):
-    """Cardinal cubic B-spline at |distance| x (ops/n4.py:_bspline_rows)."""
-    near = (4.0 - 6.0 * x * x + 3.0 * x ** 3) / 6.0
-    far = (2.0 - x) ** 3 / 6.0
-    return jnp.where(x < 1.0, near, jnp.where(x < 2.0, far, 0.0))
+def basis_rows_padded(bv: jnp.ndarray, power: int) -> jnp.ndarray:
+    """[CP, P] bf16 powered basis rows from a [P, ncp] f32 basis matrix.
 
-
-def _pow(b, power: int):
-    if power == 2:
-        return b * b
-    if power == 3:
-        return b * b * b
-    return b
-
-
-def _basis_cp(t, power: int):
-    """[CP, n] basis rows (row c = B(|t - c + 1|)^power) from [1, n] t."""
-    c = jax.lax.broadcasted_iota(
-        jnp.int32, (CP, t.shape[1]), 0
-    ).astype(jnp.float32)
-    return _pow(_spline(jnp.abs(t - c + 1.0)), power)
-
-
-def _outer_fp(bc_k, bs_k, sd_ref, se_ref):
-    """[FP, n] outer-product rows from [CP, n] powered basis sets.
-
-    Row f needs bc_k[f // ncp] * bs_k[f % ncp]; the row replication is two
-    static one-hot selection matmuls (sd/se are [FP, CP] constants) — a
-    gather would not lower in Mosaic, and evaluating the splines directly
-    at all FP rows costs ~8x the VPU work (measured: it erased the
-    kernel's win)."""
-    bd = jax.lax.dot_general(
-        sd_ref[:, :], bc_k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    be = jax.lax.dot_general(
-        se_ref[:, :], bs_k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return bd * be
+    Iteration-invariant per level — prepared once outside the while loop
+    (ops/n4.py) and streamed by the kernels below."""
+    P, ncp = bv.shape
+    assert ncp <= CP, ncp
+    rows = jnp.swapaxes(bv ** power, 0, 1)
+    return jnp.pad(rows, ((0, CP - ncp), (0, 0))).astype(jnp.bfloat16)
 
 
 @functools.lru_cache(maxsize=8)
@@ -101,117 +74,325 @@ def _selection_mats(ncp: int):
     return sd, se
 
 
-def _scaled(ref, t_scale: float):
-    return ref[:, :].astype(jnp.float32) * jnp.float32(t_scale)
+def _outer_fp(bc_k, bs_k, sd_ref, se_ref):
+    """[FP, n] bf16 outer-product rows from [CP, n] powered basis sets."""
+    bd = jax.lax.dot_general(
+        sd_ref[:, :], bc_k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    be = jax.lax.dot_general(
+        se_ref[:, :], bs_k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return (bd * be).astype(jnp.bfloat16)
 
 
-def _moment_kernel(a_ref, hc_ref, wc_ref, sc_ref, sd_ref, se_ref, mom_ref,
-                   *, t_scales, power):
+def _moment_kernel(a_ref, br_ref, bc_ref, bs_ref, sd_ref, se_ref, mom_ref):
     @pl.when(pl.program_id(0) == 0)
     def _():
         mom_ref[:, :] = jnp.zeros_like(mom_ref)
 
-    th = _scaled(hc_ref, t_scales[0])
-    tw = _scaled(wc_ref, t_scales[1])
-    ts = _scaled(sc_ref, t_scales[2])
-    ax = a_ref[:, :] * _basis_cp(th, power)           # [CP, PC]
-    bc_k = _basis_cp(tw, power)
-    bs_k = _basis_cp(ts, power)
-    outer = _outer_fp(bc_k, bs_k, sd_ref, se_ref)     # [FP, PC]
+    # a-side product in f32 (a has wide dynamic range), then bf16 for the
+    # MXU — mirrors the XLA path's (a_v * brv^3).astype(bf16).
+    ax = a_ref[:, :] * br_ref[:, :].astype(jnp.float32)       # [CP, PC]
+    outer = _outer_fp(bc_ref[:, :], bs_ref[:, :], sd_ref, se_ref)
     mom_ref[:, :] += jax.lax.dot_general(
-        ax, outer, (((1,), (1,)), ((), ())),
+        ax.astype(jnp.bfloat16), outer, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ncp", "t_scales", "power", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("ncp", "interpret"))
 def fit_moment_pallas(
     a: jnp.ndarray,
-    hc: jnp.ndarray, wc: jnp.ndarray, sc: jnp.ndarray,
+    br_k: jnp.ndarray, bc_k: jnp.ndarray, bs_k: jnp.ndarray,
     ncp: int,
-    t_scales: Tuple[float, float, float],
-    power: int,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """[CP, FP] moment matrix; slice [:ncp, :ncp*ncp] for the fit."""
+    """[CP, FP] moment matrix; slice [:ncp, :ncp*ncp] for the fit.
+
+    br_k/bc_k/bs_k: [CP, P] bf16 powered basis rows (basis_rows_padded)."""
     P = a.shape[0]
     assert P % PC == 0, P
     grid = (P // PC,)
     vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((CP, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((FP, CP), lambda i: (0, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    sd, se = _selection_mats(ncp)
-    kernel = functools.partial(
-        _moment_kernel, t_scales=tuple(t_scales), power=power
-    )
+    sd, se = _selection_mats(int(ncp))
     return pl.pallas_call(
-        kernel,
+        _moment_kernel,
         grid=grid,
-        in_specs=[vspec, vspec, vspec, vspec, sspec, sspec],
+        in_specs=[vspec, bspec, bspec, bspec, sspec, sspec],
         out_specs=mspec,
         out_shape=jax.ShapeDtypeStruct((CP, FP), jnp.float32),
         interpret=interpret,
     )(
         a.astype(jnp.float32).reshape(1, P),
-        hc.reshape(1, P), wc.reshape(1, P), sc.reshape(1, P),
-        jnp.asarray(sd), jnp.asarray(se),
+        br_k, bc_k, bs_k,
+        jnp.asarray(sd, jnp.bfloat16), jnp.asarray(se, jnp.bfloat16),
     )
 
 
-def _delta_kernel(phi_ref, hc_ref, wc_ref, sc_ref, sd_ref, se_ref, out_ref,
-                  *, t_scales):
-    th = _scaled(hc_ref, t_scales[0])
-    tw = _scaled(wc_ref, t_scales[1])
-    ts = _scaled(sc_ref, t_scales[2])
-    br = _basis_cp(th, 1)                             # [CP, PC]
-    outer = _outer_fp(
-        _basis_cp(tw, 1), _basis_cp(ts, 1), sd_ref, se_ref
-    )                                                 # [FP, PC]
+def _delta_kernel(phi_ref, br_ref, bc_ref, bs_ref, sd_ref, se_ref, out_ref):
+    outer = _outer_fp(bc_ref[:, :], bs_ref[:, :], sd_ref, se_ref)
     g = jax.lax.dot_general(
-        phi_ref[:, :], outer, (((1,), (0,)), ((), ())),
+        phi_ref[:, :].astype(jnp.bfloat16), outer, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                                 # [CP, PC]
+    br = br_ref[:, :].astype(jnp.float32)
     out_ref[:, :] = jnp.sum(br * g, axis=0, keepdims=True)   # [1, PC]
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ncp", "t_scales", "interpret")
-)
+@functools.partial(jax.jit, static_argnames=("ncp", "interpret"))
 def fit_delta_pallas(
     phi: jnp.ndarray,
-    hc: jnp.ndarray, wc: jnp.ndarray, sc: jnp.ndarray,
+    br1: jnp.ndarray, bc1: jnp.ndarray, bs1: jnp.ndarray,
     ncp: int,
-    t_scales: Tuple[float, float, float],
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[P] field update delta = B phi at every compacted voxel.
 
     phi is the [CP, FP]-padded coefficient matrix (rows c, lanes d*ncp+e;
-    padded entries zero).
+    padded entries zero); br1/bc1/bs1 the power-1 [CP, P] bf16 basis rows.
     """
-    P = hc.shape[0]
+    P = br1.shape[1]
     assert P % PC == 0, P
     grid = (P // PC,)
-    vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((CP, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
     # out is [1, P] with [1, PC] blocks — a block dim equal to the array
     # dim satisfies Mosaic's tiling rule where a sublane of 8 would not.
     ospec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((FP, CP), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    sd, se = _selection_mats(ncp)
-    kernel = functools.partial(_delta_kernel, t_scales=tuple(t_scales))
+    sd, se = _selection_mats(int(ncp))
     out = pl.pallas_call(
-        kernel,
+        _delta_kernel,
         grid=grid,
-        in_specs=[pspec, vspec, vspec, vspec, sspec, sspec],
+        in_specs=[pspec, bspec, bspec, bspec, sspec, sspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
         interpret=interpret,
     )(
         phi.astype(jnp.float32),
-        hc.reshape(1, P), wc.reshape(1, P), sc.reshape(1, P),
-        jnp.asarray(sd), jnp.asarray(se),
+        br1, bc1, bs1,
+        jnp.asarray(sd, jnp.bfloat16), jnp.asarray(se, jnp.bfloat16),
     )
     return out.reshape(P)
+
+
+# ---------------------------------------------------------------------------
+# Sharpen-phase kernels.
+#
+# The XLA sharpen (ops/n4.py:_sharpen_vec) splits the fractional-histogram
+# bin index into (hi, lo) = divmod(b, 16) and materializes eight [P, 13/16]
+# one-hot operands in HBM every iteration (~22 MB/lane/iter) — about as
+# much traffic as the old fit operands.  These kernels build the one-hots
+# in VMEM from the value vector and keep everything f32 (the histogram and
+# expectation feed log-intensity values where bf16 quantization would rival
+# the residual magnitude).  Layout notes:
+# - hist kernel output h[g, l] corresponds to bin b = 16 g + l, matching
+#   the XLA h2d.reshape(NG*GL) order; callers slice [:16, :16].
+# - the E-interp kernel reads E as a [16, 128] table e_pad[l, g] =
+#   E256[16 g + l] (transposed reshape, zero-padded lanes) and selects
+#   e_pad[lo_j, hi_j] with one full-width [128, PC] hi one-hot matmul plus
+#   a [16, PC] lo mask — lane sub-slices of a ref mis-lower in Mosaic, so
+#   the table is padded instead of sliced.
+# - scalar (binmin, slope) ride an SMEM (1, 2) operand.
+# ---------------------------------------------------------------------------
+
+
+def _t_index(logu, wv, binmin, slope, bins):
+    """clip((logu - binmin)/slope, 0, bins-1) * wv — XLA parity."""
+    t = jnp.clip((logu - binmin) / slope, 0.0, float(bins - 1)) * wv
+    i0 = jnp.floor(t)
+    return t, i0
+
+
+def _hist_kernel(logu_ref, wv_ref, prm_ref, h_ref, *, bins):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        h_ref[:, :] = jnp.zeros_like(h_ref)
+
+    logu = logu_ref[:, :]
+    wv = wv_ref[:, :]
+    t, i0f = _t_index(logu, wv, prm_ref[0, 0], prm_ref[0, 1], bins)
+    f = t - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+    gio = jax.lax.broadcasted_iota(jnp.int32, (CP, t.shape[1]), 0)
+    w0 = wv * (1.0 - f)
+    w1 = wv * f
+
+    def contrib(idx, w):
+        ahi = ((idx >> 4) == gio).astype(jnp.float32) * w     # [16, PC]
+        alo = ((idx & 15) == gio).astype(jnp.float32)
+        return jax.lax.dot_general(
+            ahi, alo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [16, 16]
+
+    h2d = contrib(i0, w0) + contrib(i1, w1)
+    h_ref[:, :] += jnp.pad(h2d, ((0, 0), (0, FP - CP)))
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "interpret"))
+def sharpen_hist_pallas(
+    logu: jnp.ndarray, wv: jnp.ndarray,
+    binmin: jnp.ndarray, slope: jnp.ndarray,
+    bins: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[bins] fractional histogram of the masked value vector.
+
+    Exactly the triangular-kernel histogram of ops/n4.py:_sharpen_vec
+    (weight 1-f at floor(t), f at floor(t)+1), reduced in f32.
+    """
+    P = logu.shape[0]
+    assert P % PC == 0, P
+    grid = (P // PC,)
+    vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hspec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    prm = jnp.stack([binmin, slope]).astype(jnp.float32).reshape(1, 2)
+    h = pl.pallas_call(
+        functools.partial(_hist_kernel, bins=bins),
+        grid=grid,
+        in_specs=[vspec, vspec, sspec],
+        out_specs=hspec,
+        out_shape=jax.ShapeDtypeStruct((CP, FP), jnp.float32),
+        interpret=interpret,
+    )(logu.reshape(1, P), wv.reshape(1, P), prm)
+    return h[:, :CP].reshape(CP * CP)[:bins]
+
+
+def _resid_kernel(logu_ref, wv_ref, sv_ref, e_ref, prm_ref, a_ref, *, bins):
+    logu = logu_ref[:, :]
+    wv = wv_ref[:, :]
+    t, _ = _t_index(logu, wv, prm_ref[0, 0], prm_ref[0, 1], bins)
+    s = t + 1.0
+    j0f = jnp.floor(s)
+    fs = s - j0f
+    j0 = j0f.astype(jnp.int32)
+    n = t.shape[1]
+    gio128 = jax.lax.broadcasted_iota(jnp.int32, (FP, n), 0)
+    gio16 = jax.lax.broadcasted_iota(jnp.int32, (CP, n), 0)
+
+    def pick(idx):
+        ahi = ((idx >> 4) == gio128).astype(jnp.float32)      # [128, PC]
+        alo = ((idx & 15) == gio16).astype(jnp.float32)       # [16, PC]
+        tmp = jax.lax.dot_general(
+            e_ref[:, :], ahi, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [16, PC]
+        return jnp.sum(tmp * alo, axis=0, keepdims=True)      # [1, PC]
+
+    v0 = pick(j0)
+    v1 = pick(j0 + 1)
+    sharpened = ((1.0 - fs) * v0 + fs * v1) * wv
+    residual = (logu - sharpened) * wv
+    residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
+    a_ref[:, :] = residual / jnp.maximum(sv_ref[:, :], 1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("bins", "interpret"))
+def sharpen_resid_pallas(
+    logu: jnp.ndarray, wv: jnp.ndarray, sv: jnp.ndarray,
+    e256: jnp.ndarray,
+    binmin: jnp.ndarray, slope: jnp.ndarray,
+    bins: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[P] fit residual a_v = ((logu - interp(E, t+1)·wv)·wv flushed)/sv.
+
+    e256: the (bins+2)-entry local expectation slice zero-padded to 256
+    (index j corresponds to the XLA path's e_loc[j], i.e. expectation at
+    histogram slot j + offset - 1).
+    """
+    P = logu.shape[0]
+    assert P % PC == 0, P
+    grid = (P // PC,)
+    vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    e_pad = jnp.zeros((CP, FP), jnp.float32).at[:, :CP].set(
+        e256.reshape(CP, CP).swapaxes(0, 1)
+    )
+    prm = jnp.stack([binmin, slope]).astype(jnp.float32).reshape(1, 2)
+    out = pl.pallas_call(
+        functools.partial(_resid_kernel, bins=bins),
+        grid=grid,
+        in_specs=[vspec, vspec, vspec, espec, sspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
+        interpret=interpret,
+    )(logu.reshape(1, P), wv.reshape(1, P), sv.reshape(1, P), e_pad, prm)
+    return out.reshape(P)
+
+
+def _delta_conv_kernel(phi_ref, br_ref, bc_ref, bs_ref, sd_ref, se_ref,
+                       wv_ref, d_ref, cv_ref):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cv_ref[:, :] = jnp.zeros_like(cv_ref)
+
+    outer = _outer_fp(bc_ref[:, :], bs_ref[:, :], sd_ref, se_ref)
+    g = jax.lax.dot_general(
+        phi_ref[:, :].astype(jnp.bfloat16), outer, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    br = br_ref[:, :].astype(jnp.float32)
+    raw = jnp.sum(br * g, axis=0, keepdims=True)              # [1, PC]
+    wv = wv_ref[:, :]
+    d = jnp.where(jnp.abs(raw) < 1e-18, 0.0, raw) * wv
+    d_ref[:, :] = d
+    # ITK convergence accumulators around ed = exp(-d): e1 = ed - 1 keeps
+    # the one-pass variance s2 - s1^2/n catastrophe-free (ed ~ 1).
+    # (expm1 has no Mosaic lowering; exp - 1 rounds each term at ~1e-7
+    # absolute, far below the 1e-3 CV convergence threshold.)
+    e1 = jnp.exp(-d) - 1.0
+    lio = jax.lax.broadcasted_iota(jnp.int32, (1, FP), 1)
+    s1 = jnp.sum(wv * e1)
+    s2 = jnp.sum(wv * e1 * e1)
+    cv_ref[:, :] += jnp.where(lio == 0, s1, 0.0) + jnp.where(
+        lio == 1, s2, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("ncp", "interpret"))
+def fit_delta_conv_pallas(
+    phi: jnp.ndarray,
+    br1: jnp.ndarray, bc1: jnp.ndarray, bs1: jnp.ndarray,
+    wv: jnp.ndarray,
+    ncp: int,
+    interpret: bool = False,
+):
+    """(delta·wv flushed [P], s1, s2) — the field update fused with the
+    ITK convergence sums: s1 = Σ wv·(exp(-delta)-1), s2 = Σ wv·(...)^2.
+
+    Callers recover the ITK CV of exp(-delta) over the mask as
+    mu = 1 + s1/n, var = (s2 - s1²/n)/n, cv = sqrt(var)/mu — algebraically
+    the XLA path's two-pass moments (ops/n4.py)."""
+    P = br1.shape[1]
+    assert P % PC == 0, P
+    grid = (P // PC,)
+    bspec = pl.BlockSpec((CP, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((FP, CP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sd, se = _selection_mats(int(ncp))
+    d, cv = pl.pallas_call(
+        _delta_conv_kernel,
+        grid=grid,
+        in_specs=[pspec, bspec, bspec, bspec, sspec, sspec, vspec],
+        out_specs=[vspec, cspec],
+        out_shape=[jax.ShapeDtypeStruct((1, P), jnp.float32),
+                   jax.ShapeDtypeStruct((1, FP), jnp.float32)],
+        interpret=interpret,
+    )(
+        phi.astype(jnp.float32),
+        br1, bc1, bs1,
+        jnp.asarray(sd, jnp.bfloat16), jnp.asarray(se, jnp.bfloat16),
+        wv.reshape(1, P),
+    )
+    return d.reshape(P), cv[0, 0], cv[0, 1]
