@@ -185,6 +185,7 @@ def _bspline_rows(coords, n, n_elements, dtype):
     static_argnames=(
         "fitting_levels", "max_iters", "bins", "control_points",
         "mask_pad", "return_field", "return_overflow", "return_compacted",
+        "return_iters",
         "use_pallas",
     ),
 )
@@ -201,6 +202,7 @@ def n4_bias_correction(
     mask_pad: Optional[int] = None,
     return_field: bool = False,
     return_overflow: bool = False,
+    return_iters: bool = False,
     return_compacted: bool = False,
     compacted=None,
     use_pallas: Optional[bool] = None,
@@ -276,6 +278,7 @@ def n4_bias_correction(
 
     field_v = jnp.zeros(P, dtype)
     phi_totals = []
+    level_iters = []
     for level in range(fitting_levels):
         n_elements = (control_points - 3) * 2 ** level
         ncp = n_elements + 3
@@ -371,7 +374,7 @@ def n4_bias_correction(
         phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
 
         def body(carry, fit_phase=fit_phase, sv=sv, lvl_pallas=lvl_pallas):
-            i, field_v, phi_total, done = carry
+            i, field_v, phi_total, done, _ = carry
             logu = (logv - field_v) * wv
             if sharpen_use:
                 # Pallas sharpen: the histogram build and the E-interp /
@@ -425,13 +428,16 @@ def n4_bias_correction(
             new_field = jnp.where(done, field_v, field_v + delta)
             new_phi = jnp.where(done, phi_total, phi_total + phi)
             new_done = done | (cv < convergence_threshold)
-            return i + 1, new_field, new_phi, new_done
+            itc = carry[4] + (~done).astype(jnp.int32)
+            return i + 1, new_field, new_phi, new_done, itc
 
-        _, field_v, phi_total, _ = jax.lax.while_loop(
+        _, field_v, phi_total, _, itc = jax.lax.while_loop(
             lambda c: (c[0] < max_iters) & ~c[3],
             body,
-            (jnp.asarray(0), field_v, phi_total, jnp.asarray(False)),
+            (jnp.asarray(0), field_v, phi_total, jnp.asarray(False),
+             jnp.asarray(0)),
         )
+        level_iters.append(itc)
         phi_totals.append((level, phi_total))
 
     # Full-grid field: one dense separable evaluation per level (cheap, once).
@@ -454,6 +460,10 @@ def n4_bias_correction(
         out = out + (total_field,)
     if return_overflow:
         out = out + (overflow,)
+    if return_iters:
+        # Diagnostic: per-level count of iterations this call was still
+        # unconverged (per-lane under vmap — quantifies lock-step waste).
+        out = out + (jnp.stack(level_iters),)
     if return_compacted:
         # Compacted corrected values at the iteration's own field estimate
         # (field_v; bf16-accumulated, ~1e-4 relative of the dense field) —
