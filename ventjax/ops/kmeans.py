@@ -73,13 +73,31 @@ def vdp_kmeans(
 
     centers0 = _masked_quantiles(vals, wv, k)
 
+    def _assign_first_min(flat_vals, centers):
+        """argmin_j |v - c_j| with first-of-ties semantics, built from
+        elementwise passes only — a [N, k] distance matrix would be
+        lane-padded to [N, 128] on TPU (32x HBM bloat), so compute the
+        running min and then the lowest index attaining it."""
+        ds = [jnp.abs(flat_vals - centers[j]) for j in range(k)]
+        dmin = ds[0]
+        for j in range(1, k):
+            dmin = jnp.minimum(dmin, ds[j])
+        assign = jnp.full(flat_vals.shape, k - 1, jnp.int32)
+        for j in range(k - 1, -1, -1):
+            assign = jnp.where(ds[j] == dmin, j, assign)
+        return assign
+
     def body(carry):
         i, centers, _ = carry
-        d = jnp.abs(vals[:, None] - centers[None, :])
-        assign = jnp.argmin(d, axis=1)
-        onehot = jax.nn.one_hot(assign, k, dtype=dtype) * wv[:, None]
-        counts = jnp.sum(onehot, axis=0)
-        sums = onehot.T @ vals
+        assign = _assign_first_min(vals, centers)
+        # per-cluster masked reductions (k fused [P] passes, no one-hot)
+        sums = jnp.stack([
+            jnp.sum(jnp.where(assign == j, wv * vals, 0.0))
+            for j in range(k)
+        ])
+        counts = jnp.stack([
+            jnp.sum(jnp.where(assign == j, wv, 0.0)) for j in range(k)
+        ])
         new = jnp.where(counts > 0, sums / jnp.where(counts > 0, counts, 1.0),
                         centers)
         # Early stop when centers are exactly unchanged: further iterations
@@ -95,8 +113,7 @@ def vdp_kmeans(
     # Final assignment over the full volume (once): defect = membership in
     # the defect_clusters lowest-mean clusters.  Summing equality tests
     # against the sorted-order original indices avoids a [V] gather.
-    d_full = jnp.abs(flat[:, None] - centers[None, :])
-    assign_full = jnp.argmin(d_full, axis=1)
+    assign_full = _assign_first_min(flat, centers)
     order = jnp.argsort(centers)
     defect_flat = jnp.zeros(V, n4.dtype)
     for i in range(int(defect_clusters)):
