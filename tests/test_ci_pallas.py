@@ -48,3 +48,73 @@ def test_pallas_head_empty_and_full():
                                              use_pallas=True)
     np.testing.assert_array_equal(np.asarray(ci_xf), np.asarray(ci_pf))
     assert int(sat_xf) == int(sat_pf)
+
+
+def test_densify_rank_matches_scatter():
+    import numpy as np
+    import jax.numpy as jnp
+    from ventjax.ops.ci_pallas import densify_rank_pallas
+
+    rng = np.random.default_rng(11)
+    V, K = 8192, 512
+    d01 = (rng.random(V) < 0.03).astype(np.int32)   # ~246 defects < K
+    cv = rng.random(K).astype(np.float32)
+    n = int(d01.sum())
+
+    rank = jnp.cumsum(jnp.asarray(d01)) - 1
+    dense = np.asarray(densify_rank_pallas(
+        rank, jnp.asarray(d01), jnp.asarray(cv), K, interpret=True))
+
+    ref = np.zeros(V, np.float32)
+    ref[np.nonzero(d01)[0]] = cv[:n]
+    assert (dense == ref).all()
+
+
+def test_densify_rank_overflow_drops():
+    import numpy as np
+    import jax.numpy as jnp
+    from ventjax.ops.ci_pallas import densify_rank_pallas
+
+    rng = np.random.default_rng(12)
+    V, K = 4096, 64
+    d01 = (rng.random(V) < 0.05).astype(np.int32)   # ~205 defects > K
+    cv = rng.random(K).astype(np.float32)
+
+    rank = jnp.cumsum(jnp.asarray(d01)) - 1
+    dense = np.asarray(densify_rank_pallas(
+        rank, jnp.asarray(d01), jnp.asarray(cv), K, interpret=True))
+
+    idx = np.nonzero(d01)[0]
+    ref = np.zeros(V, np.float32)
+    ref[idx[:K]] = cv            # voxels past K stay 0 (mode="drop" parity)
+    assert (dense == ref).all()
+
+
+def test_rank_pallas_exact():
+    import numpy as np
+    import jax.numpy as jnp
+    from ventjax.ops.ci_pallas import rank_pallas
+
+    d = (np.random.default_rng(13).random(16384) < 0.1).astype(np.int32)
+    r = np.asarray(rank_pallas(jnp.asarray(d), interpret=True))
+    assert (r == np.cumsum(d) - 1).all()
+
+
+def test_ci_pairwise_pallas_densify_end_to_end():
+    """pallas_densify=True must produce the identical CI map."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ventjax.ops import ci_pairwise as cp
+
+    rng = np.random.default_rng(14)
+    shape = (64, 64, 8)
+    d = np.zeros(shape, np.float32)
+    d[20:28, 30:38, 2:5] = (rng.random((8, 8, 3)) < 0.7)
+    geom = cp.build_ci_pairwise_geometry(
+        (1.5, 1.5, 10.0), shape, border_mode="wrap")
+    a = cp.calculate_ci_pairwise(
+        jnp.asarray(d), geom, max_defect_voxels=256, pallas_densify=True)
+    b = cp.calculate_ci_pairwise(
+        jnp.asarray(d), geom, max_defect_voxels=256, pallas_densify=False)
+    assert (np.asarray(a[0]) == np.asarray(b[0])).all()
+    assert int(a[1]) == int(b[1])

@@ -121,3 +121,154 @@ def head_counts_pallas(
         r2p,
     )
     return counts[:, :ns]
+
+
+# ---------------------------------------------------------------------------
+# Dense CI-map construction (scatter replacement).
+#
+# The final step of calculate_ci_pairwise writes K defect-voxel CI values
+# into the [V] volume.  XLA's scatter lowers to a sequential per-update
+# loop on TPU — measured ~1.0-2.0 ms/vol for K=512, the single largest
+# slice of the CI op; a [V]-gather rank formulation is worse (3.7 ms/vol)
+# and an XLA one-hot matmul materializes [K, 4096] operands per block
+# (1.2 ms/vol).  This kernel uses the rank identity instead:
+#
+#   dense[v] = defect[v] ? cv[rank[v]] : 0,   rank = cumsum(defect) - 1
+#
+# (exact because the compacted defect indices are ascending, so the j-th
+# defect voxel in row-major order owns cv[j]).  The table lookup runs in
+# VMEM via the same (hi, lo) bin-split one-hot dots as the N4 sharpen
+# kernels: lo = rank & 31 selects a row of the [32, G] table, hi =
+# rank >> 5 a column via a [G, PC] one-hot contraction.  rank comes from
+# rank_pallas below (XLA's 1-D cumsum itself costs ~0.9 ms/vol on [262k]);
+# overflow voxels (rank >= K) produce 0 exactly like the scatter's
+# mode="drop".
+# ---------------------------------------------------------------------------
+
+_DPC = 4096   # voxels per grid step
+
+
+def _densify_kernel(rank_ref, d_ref, tab_ref, out_ref, *, k, gp):
+    rank = rank_ref[:, :]                                  # [1, PC] i32
+    lo = rank & 31
+    hi = rank >> 5
+    gio_g = jax.lax.broadcasted_iota(jnp.int32, (gp, _DPC), 0)
+    gio_l = jax.lax.broadcasted_iota(jnp.int32, (32, _DPC), 0)
+    ahi = (hi == gio_g).astype(jnp.float32)                # [GP, PC]
+    alo = (lo == gio_l).astype(jnp.float32)                # [32, PC]
+    # HIGHEST precision: the MXU's default f32 path quantizes inputs to
+    # bf16, which would corrupt the exact CI radii values (measured on
+    # chip); the 3-pass f32 emulation is exact for one-hot selection and
+    # this dot is tiny.
+    tmp = jax.lax.dot_general(
+        tab_ref[:, :], ahi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                      # [32, PC]
+    v = jnp.sum(tmp * alo, axis=0, keepdims=True)          # [1, PC]
+    keep = (d_ref[:, :] > 0) & (rank < k)
+    out_ref[:, :] = jnp.where(keep, v, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def densify_rank_pallas(
+    rank: jnp.ndarray,
+    d01: jnp.ndarray,
+    cv: jnp.ndarray,
+    k: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[V] dense map: cv[rank[v]] where d01[v] and rank[v] < k, else 0.
+
+    rank: [V] int32 (cumsum(d01) - 1); d01: [V] 0/1; cv: [k] f32 values in
+    defect-rank order.  V must be a multiple of 4096 (callers fall back to
+    the XLA scatter otherwise).
+    """
+    V = rank.shape[0]
+    assert V % _DPC == 0, V
+    G = -(-int(k) // 32)
+    gp = 128 * -(-G // 128)          # hi one-hot height, 128-padded
+    # table[l, g] = cv[g*32 + l], zero-padded
+    tab = jnp.zeros((32, gp), jnp.float32)
+    tab = tab.at[:, :G].set(
+        jnp.pad(cv.astype(jnp.float32), (0, G * 32 - int(k))).reshape(G, 32)
+        .swapaxes(0, 1)
+    )
+    grid = (V // _DPC,)
+    vspec = pl.BlockSpec((1, _DPC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((32, gp), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_densify_kernel, k=int(k), gp=gp),
+        grid=grid,
+        in_specs=[vspec, vspec, tspec],
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct((1, V), jnp.float32),
+        interpret=interpret,
+    )(
+        rank.astype(jnp.int32).reshape(1, V),
+        d01.astype(jnp.int32).reshape(1, V),
+        tab,
+    )
+    return out.reshape(V)
+
+
+def _prefix_kernel(x_ref, lt_ref, sl_ref, ones_ref, rank_ref, off_ref):
+    """Exclusive-ish rank for one [32, 128] block of the 0/1 defect vector:
+    rank = global inclusive prefix - 1.  Prefix within the block is three
+    triangular/ones matmuls (all inputs are small integers, exact in the
+    MXU's bf16 passes with f32 accumulation); the running block offset is
+    carried in SMEM across the sequential grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        off_ref[0, 0] = jnp.float32(0.0)
+
+    x = x_ref[:, :].astype(jnp.float32)                    # [32, 128] 0/1
+    y = jax.lax.dot_general(                               # in-row prefix
+        x, lt_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    z = jax.lax.dot_general(                               # prev-row cols
+        sl_ref[:, :], x, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zrow = jax.lax.dot_general(                            # row-sum bcast
+        z, ones_ref[:, :], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    off = off_ref[0, 0]
+    rank_ref[:, :] = (y + zrow + off - 1.0).astype(jnp.int32)
+    off_ref[0, 0] = off + jnp.sum(x)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def rank_pallas(d01: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """[V] int32 rank = cumsum(d01) - 1, via blockwise MXU prefix sums.
+
+    XLA's 1-D cumsum costs ~0.9 ms/vol on [262k] (measured; both the 1-D
+    primitive and a two-level reshape variant) — this kernel does it in
+    [32, 128] tiles with triangular matmuls and an SMEM-carried offset.
+    """
+    V = d01.shape[0]
+    assert V % 4096 == 0, V
+    lt = jnp.asarray(np.tril(np.ones((128, 128), np.float32)).T)
+    sl = jnp.asarray(np.tril(np.ones((32, 32), np.float32), -1))
+    ones = jnp.ones((128, 128), jnp.float32)
+    x2d = d01.astype(jnp.int32).reshape(V // 128, 128)
+    bspec = pl.BlockSpec((32, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((128, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((32, 32), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _prefix_kernel,
+        grid=(V // 4096,),
+        in_specs=[bspec, cspec, sspec, cspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((V // 128, 128), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(x2d, lt, sl, ones)
+    return out.reshape(V)
