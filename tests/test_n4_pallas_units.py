@@ -74,8 +74,13 @@ def test_resid_kernel_matches_sharpen_vec():
     e256 = jnp.zeros(256, jnp.float32).at[:BINS + 2].set(e_loc)
     a = np.asarray(npk.sharpen_resid_pallas(
         logu, wv, sv, e256, binmin, slope, BINS, interpret=True))
-    scale = np.abs(a_ref).max()
-    assert np.abs(a - a_ref).max() < max(1e-5 * scale, 2e-6)
+    # The kernel's E-table selection uses the double-bf16 split (two
+    # full-rate MXU dots on hi/lo components — Mosaic has no HIGH
+    # precision and HIGHEST costs 37% of pipeline throughput), giving
+    # ~2^-16 relative accuracy on the log-intensity-scale (~5) table:
+    # ~1.5e-4 absolute on the residual.  Interpret mode reproduces the
+    # same casts, so this bound is exercised on CPU too.
+    assert np.abs(a - a_ref).max() < 1e-3
 
 
 def test_delta_conv_matches_delta_plus_stats():

@@ -225,12 +225,21 @@ def _hist_kernel(logu_ref, wv_ref, prm_ref, h_ref, *, bins):
     w1 = wv * f
 
     def contrib(idx, w):
-        ahi = ((idx >> 4) == gio).astype(jnp.float32) * w     # [16, PC]
-        alo = ((idx & 15) == gio).astype(jnp.float32)
-        return jax.lax.dot_general(
-            ahi, alo, (((1,), (1,)), ((), ())),
+        aw = ((idx >> 4) == gio).astype(jnp.float32) * w      # [16, PC]
+        alo = ((idx & 15) == gio).astype(jnp.bfloat16)        # exact 0/1
+        # Double-bf16 split: the MXU's default f32 path quantizes the
+        # fractional triangle weights to bf16 on chip (CPU interpret
+        # tests cannot see it), and Mosaic offers only DEFAULT/HIGHEST
+        # (HIGHEST costs 37% of pipeline throughput — measured).  Two
+        # full-rate dots on the hi/lo bf16 components recover ~2^-16
+        # relative accuracy — f32-grade for unit-scale weights.
+        w_hi = aw.astype(jnp.bfloat16)
+        w_lo = (aw - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda x: jax.lax.dot_general(
+            x, alo, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [16, 16]
+        )
+        return dot(w_hi) + dot(w_lo)                          # [16, 16]
 
     h2d = contrib(i0, w0) + contrib(i1, w1)
     h_ref[:, :] += jnp.pad(h2d, ((0, 0), (0, FP - CP)))
@@ -279,12 +288,19 @@ def _resid_kernel(logu_ref, wv_ref, sv_ref, e_ref, prm_ref, a_ref, *, bins):
     gio16 = jax.lax.broadcasted_iota(jnp.int32, (CP, n), 0)
 
     def pick(idx):
-        ahi = ((idx >> 4) == gio128).astype(jnp.float32)      # [128, PC]
+        ahi = ((idx >> 4) == gio128).astype(jnp.bfloat16)     # exact 0/1
         alo = ((idx & 15) == gio16).astype(jnp.float32)       # [16, PC]
-        tmp = jax.lax.dot_general(
-            e_ref[:, :], ahi, (((1,), (0,)), ((), ())),
+        # Double-bf16 split of the expectation table (see _hist_kernel):
+        # the default MXU path returns bf16-quantized E values on chip;
+        # two full-rate dots on hi/lo components are ~2^-16 accurate.
+        e = e_ref[:, :]
+        e_hi = e.astype(jnp.bfloat16)
+        e_lo = (e - e_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        dot = lambda x: jax.lax.dot_general(
+            x, ahi, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [16, PC]
+        )
+        tmp = dot(e_hi) + dot(e_lo)                           # [16, PC]
         return jnp.sum(tmp * alo, axis=0, keepdims=True)      # [1, PC]
 
     v0 = pick(j0)
