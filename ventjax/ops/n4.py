@@ -268,11 +268,18 @@ def n4_bias_correction(
     pad_ok = P % _PC == 0
     auto_ok = jax.default_backend() not in ("cpu",) and pad_ok
     interpret = jax.default_backend() == "cpu"
-    # The sharpen kernels are ncp-independent — profitable at every level
-    # whenever the pad allows them (the per-LEVEL choice below only governs
-    # the B-spline fit, whose XLA form wins at small ncp).
+    # Sharpen kernels are OFF in auto mode: their value-table dots need the
+    # double-bf16 split for on-chip fidelity (benchmarks/n4_chip_fidelity.py
+    # history: plain dots came back 1.4-1.9e-2 vs the oracle — the MXU's
+    # default f32 path quantizes inputs to bf16, invisible to CPU interpret
+    # tests), and at split precision they are a net loss on the fused
+    # pipeline (303 vs 316 vol/s with the XLA sharpen).  use_pallas=True
+    # still forces them — accurate (3.5-4.5e-4 on chip) and fully tested.
+    # The per-LEVEL choice below governs only the B-spline fit, whose
+    # Pallas form has no value tables (explicit bf16 operand casts,
+    # CPU-visible, oracle-validated) and wins at the finest level.
     if use_pallas is None:
-        sharpen_use = auto_ok
+        sharpen_use = False
     else:
         sharpen_use = bool(use_pallas) and pad_ok
 
