@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ventjax.ops.ci import CIGeometry, build_ci_geometry
+
 from ventjax.oracle.ci_oracle import shell_structure, sphere_pixels
 
 

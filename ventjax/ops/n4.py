@@ -22,7 +22,7 @@ updates, matching the oracle's breaking loop exactly.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
