@@ -54,3 +54,14 @@ def test_pallas_fit_vmap_consistent():
         # vmap reorders reductions (both fit paths show this); the result
         # must stay within the iteration's own convergence tolerance.
         assert _rel(batched[i], single, m) < 2e-3
+
+
+def test_auto_mode_on_cpu_is_pure_xla():
+    """use_pallas=None must not engage any kernel off-TPU: bitwise equal
+    to use_pallas=False (guards the auto-gating in ops/n4.py)."""
+    ph = make_phantom(shape=(64, 64, 8), seed=3)
+    img = jnp.asarray(np.asarray(ph.hp, np.float32))
+    mask = jnp.asarray(np.asarray(ph.mask, np.float32))
+    auto = np.asarray(n4_bias_correction(img, mask))
+    xla = np.asarray(n4_bias_correction(img, mask, use_pallas=False))
+    assert (auto == xla).all()
