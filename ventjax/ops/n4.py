@@ -266,7 +266,9 @@ def n4_bias_correction(
     )
 
     pad_ok = P % _PC == 0
-    auto_ok = jax.default_backend() not in ("cpu",) and pad_ok
+    # Auto mode means the Mosaic TPU kernels: engage them only on an
+    # actual TPU backend (a GPU backend would fail to lower them).
+    auto_ok = jax.default_backend() == "tpu" and pad_ok
     interpret = jax.default_backend() == "cpu"
     # Sharpen kernels are OFF in auto mode: their value-table dots need the
     # double-bf16 split for on-chip fidelity (benchmarks/n4_chip_fidelity.py
@@ -278,10 +280,14 @@ def n4_bias_correction(
     # The per-LEVEL choice below governs only the B-spline fit, whose
     # Pallas form has no value tables (explicit bf16 operand casts,
     # CPU-visible, oracle-validated) and wins at the finest level.
+    # The Pallas sharpen path hardcodes a 256-slot E table (e256, and the
+    # hist kernel's >>4/&15 bin split), so it only supports bins+2 <= 256;
+    # larger bins fall back to the XLA _sharpen_vec, which handles any bins.
+    sharpen_fits = bins + 2 <= 256
     if use_pallas is None:
         sharpen_use = False
     else:
-        sharpen_use = bool(use_pallas) and pad_ok
+        sharpen_use = bool(use_pallas) and pad_ok and sharpen_fits
 
     field_v = jnp.zeros(P, dtype)
     phi_totals = []
@@ -302,10 +308,17 @@ def n4_bias_correction(
         # so Pallas only wins at the finest level (measured on v5e:
         # 0.96 vs 1.47 ms/iter/batch16 at ncp=11, but 0.96 vs ~0.2 at
         # ncp=4).  Auto = Pallas iff ncp^2 >= 100.
+        # The VMEM kernels' static padding requires ncp^2 <= FP=128 and
+        # ncp <= CP=16 (basis_rows_padded asserts / _selection_mats would
+        # IndexError at trace time otherwise) — non-default params like
+        # control_points=6 @ level 2 (ncp=15) or fitting_levels=5 (ncp=19)
+        # exceed them, so both auto AND forced modes fall back to XLA.
+        from ventjax.ops.n4_pallas import CP as _CPMAX, FP as _FPMAX
+        ncp_fits = ncp * ncp <= _FPMAX and ncp <= _CPMAX
         if use_pallas is None:
-            lvl_pallas = auto_ok and ncp * ncp >= 100
+            lvl_pallas = auto_ok and ncp_fits and ncp * ncp >= 100
         else:
-            lvl_pallas = bool(use_pallas) and pad_ok
+            lvl_pallas = bool(use_pallas) and pad_ok and ncp_fits
 
         if lvl_pallas:
             # VMEM fit kernels (ventjax/ops/n4_pallas.py): the kernels
