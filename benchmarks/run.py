@@ -167,9 +167,17 @@ def bench_config(
         cfg = c.replace(ci_max_defect_voxels=2 * K, n4_mask_pad=n4_pad)
         geom = build_geometry(vox, shape, cfg)
 
+        from ventjax.pipeline.analyze import analyze_cohort_grouped
+
         mesh = make_batch_mesh()
+        # Grouped execution (lax.map over 16-lane groups, one jit): each
+        # group keeps its own N4 convergence exit instead of paying the
+        # 256-lane cohort-max iteration count — see analyze_cohort_grouped.
         fn = jax.jit(shard_cohort_fn(
-            lambda h, m: analyze_cohort(h, m, geom, cfg), mesh
+            lambda h, m: analyze_cohort_grouped(
+                h, m, geom, cfg, group_size=batch
+            ),
+            mesh,
         ))
         args = (hp, mask)
         probe = lambda r: r.metrics.vdp

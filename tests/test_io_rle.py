@@ -1,0 +1,268 @@
+"""RLE Lossless (1.2.840.10008.1.2.5) DICOM decode tests.
+
+The reference's pinned pydicom 2.3.0 decodes RLE Lossless natively through
+``pixel_array`` (reference Vent_Analysis.py:176,192, requirements.txt:5), so
+real scanner exports in RLE must load here too.  The ENCODER lives in this
+test file only (PS3.5 Annex G PackBits + segment/fragment framing): it
+round-trips random and structured volumes through the codec's decoder, and
+the fuzz cases mutate the framing to prove corrupt files fail cleanly
+instead of crashing or silently mis-decoding.
+"""
+import struct
+
+import numpy as np
+import pytest
+
+from ventjax.io import dicom as dcm
+
+
+# ---------------------------------------------------------------------------
+# In-test encoder (PS3.5 Annex G)
+# ---------------------------------------------------------------------------
+
+def rle_encode_segment(data: bytes) -> bytes:
+    """PackBits: replicate runs of >=2 as (257-run, byte); literals as
+    (len-1, bytes).  Max run/literal length 128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+        else:
+            j = i + 1
+            while (j < n and j - i < 128
+                   and not (j + 1 < n and data[j] == data[j + 1])):
+                j += 1
+            out += bytes([j - i - 1]) + data[i:j]
+            i = j
+    if len(out) % 2:
+        out.append(0x80)  # even padding with the no-op control byte
+    return bytes(out)
+
+
+def rle_encode_frame(frame: np.ndarray, bits: int) -> bytes:
+    """One fragment: 64-byte header (#segments + offsets) then the MSB-first
+    byte-plane segments of a [rows, cols] (or [rows, cols, samples]) frame."""
+    if frame.ndim == 2:
+        frame = frame[:, :, None]
+    samples = frame.shape[2]
+    bpp = bits // 8
+    flat = frame.reshape(-1, samples)
+    segs = []
+    for s in range(samples):
+        vals = flat[:, s].astype(np.uint32)
+        for b in range(bpp):  # MSB first
+            plane = ((vals >> (8 * (bpp - 1 - b))) & 0xFF).astype(np.uint8)
+            segs.append(rle_encode_segment(plane.tobytes()))
+    header = [len(segs)]
+    off = 64
+    for sdata in segs:
+        header.append(off)
+        off += len(sdata)
+    header += [0] * (16 - len(header))
+    return struct.pack("<16I", *header) + b"".join(segs)
+
+
+def write_rle_file(path, frames: np.ndarray, bits=16, signed=False,
+                   samples=1, mangle=None, extra=None) -> None:
+    """Part-10 RLE Lossless file: Explicit VR LE dataset + encapsulated
+    PixelData (empty Basic Offset Table, one fragment per frame).
+    ``mangle(fragments) -> fragments`` lets fuzz tests corrupt the framing."""
+    F, H, W = frames.shape[:3]
+    ds = dcm.Dataset()
+    ds.SOPClassUID = dcm.MR_STORAGE
+    ds.SOPInstanceUID = dcm.generate_uid()
+    ds.Rows, ds.Columns = H, W
+    ds.NumberOfFrames = F
+    ds.SamplesPerPixel = samples
+    ds.PhotometricInterpretation = "RGB" if samples == 3 else "MONOCHROME2"
+    ds.BitsAllocated = ds.BitsStored = bits
+    ds.HighBit = bits - 1
+    ds.PixelRepresentation = 1 if signed else 0
+    for k, v in (extra or {}).items():
+        setattr(ds, k, v)
+
+    meta = dcm.Dataset()
+    meta.add((0x0002, 0x0001), "OB", b"\x00\x01")
+    meta.MediaStorageSOPClassUID = ds.SOPClassUID
+    meta.MediaStorageSOPInstanceUID = ds.SOPInstanceUID
+    meta.TransferSyntaxUID = dcm.RLE_LOSSLESS
+    meta.ImplementationClassUID = dcm.generate_uid()
+
+    frags = [rle_encode_frame(frames[f], bits) for f in range(F)]
+    if mangle is not None:
+        frags = mangle(frags)
+    pix = bytearray()
+    pix += struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00"
+    pix += struct.pack("<I", 0xFFFFFFFF)
+    pix += struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty offset table
+    for frag in frags:
+        pix += struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)) + frag
+    pix += struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM")
+        f.write(dcm._encode_dataset(meta, skip_meta=False))
+        f.write(dcm._encode_dataset(ds, skip_meta=True))
+        f.write(bytes(pix))
+
+
+# ---------------------------------------------------------------------------
+# Round-trips
+# ---------------------------------------------------------------------------
+
+def test_packbits_segment_roundtrip_edge_patterns():
+    cases = [
+        b"",  # empty decodes to empty
+        b"\x00" * 5000,  # long replicate runs (cross the 128 limit)
+        bytes(range(256)) * 8,  # pure literals crossing the 128 limit
+        b"ABABAB" + b"\xff" * 300 + b"xyz",  # mixed
+        np.random.default_rng(0).integers(0, 4, 10000, dtype=np.uint8)
+        .tobytes(),  # short runs and literals interleaved
+    ]
+    for original in cases:
+        enc = rle_encode_segment(original)
+        assert len(enc) % 2 == 0
+        dec = dcm._rle_decode_segment(enc, len(original))
+        assert dec == original
+
+
+@pytest.mark.parametrize("bits,signed", [(16, False), (16, True), (8, False)])
+def test_rle_multiframe_roundtrip(tmp_path, bits, signed, rng):
+    lo, hi = (-(2 ** (bits - 1)), 2 ** (bits - 1)) if signed else (0, 2 ** bits)
+    # structured + noisy: constant bands (long runs) and speckle (literals)
+    frames = rng.integers(lo, hi, (6, 32, 24)).astype(
+        {8: np.int8 if signed else np.uint8,
+         16: np.int16 if signed else np.uint16}[bits]
+    )
+    frames[:, :8] = lo
+    frames[:, 8:12] = hi - 1
+    p = str(tmp_path / "rle.dcm")
+    write_rle_file(p, frames, bits=bits, signed=signed)
+    ds = dcm.read_file(p)
+    assert ds.get("TransferSyntaxUID") == dcm.RLE_LOSSLESS
+    assert np.array_equal(ds.pixel_array, frames)
+
+
+def test_rle_single_frame_and_rgb(tmp_path, rng):
+    one = rng.integers(0, 65536, (1, 16, 16)).astype(np.uint16)
+    p = str(tmp_path / "one.dcm")
+    write_rle_file(p, one)
+    assert np.array_equal(dcm.read_file(p).pixel_array, one[0])
+
+    rgb = rng.integers(0, 256, (1, 16, 16, 3)).astype(np.uint8)
+    p2 = str(tmp_path / "rgb.dcm")
+    write_rle_file(p2, rgb, bits=8, samples=3)
+    assert np.array_equal(dcm.read_file(p2).pixel_array, rgb[0])
+
+
+def test_rle_study_flows_through_ingest_and_resave(tmp_path, rng):
+    """open_single_dicom on an RLE multiframe mirrors the reference's
+    pydicom path (Vent_Analysis.py:176-179); re-saving transcodes to
+    native Explicit VR LE."""
+    vol = rng.integers(0, 4096, (8, 40, 32)).astype(np.uint16)
+    p = str(tmp_path / "xe_rle.dcm")
+    write_rle_file(p, vol)
+    ds, arr = dcm.open_single_dicom(p)
+    assert np.array_equal(arr, np.transpose(vol, (1, 2, 0)))
+    # resave: decoded pixels, native syntax, loadable without RLE support
+    p2 = str(tmp_path / "native.dcm")
+    ds.save_as(p2)
+    back = dcm.read_file(p2)
+    assert back.get("TransferSyntaxUID") == dcm.EXPLICIT_VR_LE
+    assert np.array_equal(back.pixel_array, vol)
+
+
+def test_rle_mask_folder_ingest(tmp_path, rng):
+    """Folder-of-slices ingest (reference Vent_Analysis.py:184-196) where
+    every slice file is RLE-compressed; the native C++ scanner rejects the
+    syntax (native/dicomscan.cpp parse_file) and the Python codec decodes."""
+    mask = (rng.random((24, 20, 5)) > 0.5).astype(np.uint16)
+    folder = tmp_path / "mask"
+    folder.mkdir()
+    for k in range(mask.shape[2]):
+        write_rle_file(str(folder / f"slice{k:03d}.dcm"), mask[None, :, :, k])
+    _, arr = dcm.open_dicom_folder(str(folder))
+    assert np.array_equal(arr, mask)
+
+    from ventjax.io import native
+    if native.available():
+        assert native.decode_pixels(str(folder / "slice000.dcm")) is None
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: corrupt framing must fail cleanly (ValueError), never mis-decode
+# ---------------------------------------------------------------------------
+
+def _expect_clean_failure(tmp_path, name, frames, mangle):
+    p = str(tmp_path / name)
+    write_rle_file(p, frames, mangle=mangle)
+    ds = dcm.read_file(p)  # header parse itself must survive
+    with pytest.raises(ValueError):
+        ds.pixel_array
+
+
+def test_rle_fuzz_corrupt_fragments(tmp_path, rng):
+    frames = rng.integers(0, 65536, (3, 16, 16)).astype(np.uint16)
+
+    _expect_clean_failure(  # wrong segment count in the header
+        tmp_path, "segcount.dcm", frames,
+        lambda fr: [struct.pack("<I", 7) + fr[0][4:]] + fr[1:])
+    _expect_clean_failure(  # offsets out of range
+        tmp_path, "offsets.dcm", frames,
+        lambda fr: [fr[0][:4] + struct.pack("<II", 64, 10 ** 6)
+                    + fr[0][12:]] + fr[1:])
+    _expect_clean_failure(  # non-monotonic offsets
+        tmp_path, "monotonic.dcm", frames,
+        lambda fr: [fr[0][:4] + struct.pack("<II", 70, 64)
+                    + fr[0][12:]] + fr[1:])
+    _expect_clean_failure(  # truncated segment data (decode runs short)
+        tmp_path, "truncated.dcm", frames,
+        lambda fr: [fr[0][:len(fr[0]) // 2]] + fr[1:])
+    _expect_clean_failure(  # fragment shorter than its 64-byte header
+        tmp_path, "tinyfrag.dcm", frames,
+        lambda fr: [fr[0][:32]] + fr[1:])
+    _expect_clean_failure(  # fragment/frame count mismatch
+        tmp_path, "fragcount.dcm", frames, lambda fr: fr[:-1])
+
+
+def test_rle_fuzz_random_garbage_segments(tmp_path, rng):
+    """Random bytes in place of encoded segments: decode must either raise
+    ValueError or produce exactly rows*cols pixels — never crash."""
+    frames = rng.integers(0, 65536, (1, 8, 8)).astype(np.uint16)
+    for seed in range(20):
+        g = np.random.default_rng(seed)
+        garbage = g.integers(0, 256, g.integers(2, 200), dtype=np.uint8)
+        garbage = garbage.tobytes()
+        if len(garbage) % 2:
+            garbage += b"\x80"
+
+        def mangle(fr, garbage=garbage):
+            return [struct.pack("<16I", 2, 64, 64 + len(garbage),
+                                *([0] * 13)) + garbage + garbage]
+
+        p = str(tmp_path / f"garbage{seed}.dcm")
+        write_rle_file(p, frames, mangle=mangle)
+        ds = dcm.read_file(p)
+        try:
+            arr = ds.pixel_array
+        except ValueError:
+            continue
+        assert arr.shape == (8, 8)
+
+
+def test_truncated_rle_file_fails_cleanly(tmp_path, rng):
+    frames = rng.integers(0, 65536, (2, 16, 16)).astype(np.uint16)
+    p = str(tmp_path / "whole.dcm")
+    write_rle_file(p, frames)
+    blob = open(p, "rb").read()
+    for cut in (len(blob) - 7, len(blob) - 100, len(blob) // 2):
+        pt = str(tmp_path / f"cut{cut}.dcm")
+        with open(pt, "wb") as f:
+            f.write(blob[:cut])
+        with pytest.raises(Exception):
+            dcm.read_file(pt).pixel_array

@@ -68,6 +68,25 @@ def test_pipeline_batch_lane_equals_single():
     assert float(rb.metrics.vdp[1]) == float(r1.metrics.vdp)
 
 
+def test_pipeline_grouped_cohort_bitwise_equals_vmap():
+    """analyze_cohort_grouped (lax.map over 4-lane groups) is bitwise the
+    plain vmapped cohort — lanes are computationally independent, grouping
+    only changes while_loop trip counts for already-frozen lanes."""
+    from ventjax.pipeline import analyze_cohort, analyze_cohort_grouped
+    from ventjax.pipeline.analyze import build_geometry
+
+    hp, mask, _ = make_cohort(8, shape=SHAPE, vox=VOX, seed=13)
+    geom = build_geometry(VOX, SHAPE, CFG)
+    plain = jax.jit(lambda h, m: analyze_cohort(h, m, geom, CFG))(
+        jnp.asarray(hp), jnp.asarray(mask))
+    grouped = jax.jit(
+        lambda h, m: analyze_cohort_grouped(h, m, geom, CFG, group_size=4)
+    )(jnp.asarray(hp), jnp.asarray(mask))
+    for a, b in zip(jax.tree_util.tree_leaves(plain),
+                    jax.tree_util.tree_leaves(grouped)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_pipeline_empty_mask_isolated():
     """A subject with an empty mask yields NaN metrics + valid=False without
     poisoning the other lanes (SURVEY.md §5 failure detection)."""

@@ -86,8 +86,10 @@ class Vent_Analysis:
         if proton_path is not None:
             self.proton_ds, self.proton = self.openSingleDICOM(proton_path)
         if pickle_path is not None:
-            with open(pickle_path, "rb") as f:
-                pickle_dict = pickle.load(f)
+            # rexport.load_pickle detects reference-app pickles (embedded
+            # pydicom objects) and raises an actionable error instead of an
+            # opaque ModuleNotFoundError.
+            pickle_dict = rexport.load_pickle(pickle_path)
         if pickle_dict is not None:
             self.unPickleMe(pickle_dict)
         if hasattr(self, "mask") and not isinstance(self.vox, str):

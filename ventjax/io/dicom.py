@@ -81,6 +81,93 @@ _TAG_VR = {tag: vr for tag, (vr, _) in _DICT.items()}
 
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+
+
+class EncapsulatedPixelData:
+    """Undecoded encapsulated PixelData: one compressed fragment per frame
+    (PS3.5 A.4 requires exactly one fragment per frame for RLE Lossless).
+
+    Kept raw at parse time so header-only reads (metadata scan, JSON export)
+    never pay decompression; ``Dataset.pixel_array`` decodes on demand.
+    """
+
+    __slots__ = ("fragments", "offset_table")
+
+    def __init__(self, fragments, offset_table=b""):
+        self.fragments = list(fragments)
+        self.offset_table = bytes(offset_table)
+
+    def __repr__(self):
+        return (f"EncapsulatedPixelData({len(self.fragments)} fragments, "
+                f"{sum(len(f) for f in self.fragments)} bytes)")
+
+
+def _rle_decode_segment(data: bytes, expected: int) -> bytes:
+    """PackBits-style RLE segment decode (DICOM PS3.5 Annex G.3.1).
+
+    Control byte n (unsigned): 0..127 -> copy the next n+1 literal bytes;
+    129..255 -> repeat the next byte 257-n times; 128 -> no-op padding.
+    """
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            j = i + h + 1
+            if j > n:
+                raise ValueError("RLE literal run past end of segment")
+            out += data[i:j]
+            i = j
+        elif h > 128:
+            if i >= n:
+                raise ValueError("RLE replicate run past end of segment")
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    if len(out) < expected:
+        raise ValueError(
+            f"RLE segment decoded to {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out[:expected])
+
+
+def _rle_decode_frame(
+    frag: bytes, rows: int, cols: int, samples: int, bits: int
+) -> np.ndarray:
+    """Decode one RLE frame fragment to a [rows*cols*samples] uint array.
+
+    Fragment = 64-byte header (uint32 segment count + up to 15 uint32
+    segment offsets from fragment start) followed by the segments; segments
+    are byte planes ordered MSB-first within each sample (PS3.5 G.2)."""
+    if len(frag) < 64:
+        raise ValueError("RLE fragment shorter than its 64-byte header")
+    header = struct.unpack_from("<16I", frag, 0)
+    nseg = header[0]
+    bpp = bits // 8
+    if nseg != samples * bpp:
+        raise ValueError(
+            f"RLE fragment has {nseg} segments, expected {samples * bpp} "
+            f"({samples} samples x {bpp} bytes)"
+        )
+    offsets = list(header[1:1 + nseg])
+    if any(o < 64 or o > len(frag) for o in offsets) or offsets != sorted(offsets):
+        raise ValueError(f"invalid RLE segment offsets {offsets}")
+    npix = rows * cols
+    planes = []
+    for k in range(nseg):
+        end = offsets[k + 1] if k + 1 < nseg else len(frag)
+        planes.append(np.frombuffer(
+            _rle_decode_segment(frag[offsets[k]:end], npix), np.uint8
+        ))
+    out = np.empty((samples, npix), np.uint32)
+    for s in range(samples):
+        val = np.zeros(npix, np.uint32)
+        for b in range(bpp):
+            val = (val << np.uint32(8)) | planes[s * bpp + b].astype(np.uint32)
+        out[s] = val
+    return out
 MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 _UID_ROOT = "1.2.826.0.1.3680043.10.1453"  # ventjax org root (ad-hoc)
@@ -207,6 +294,31 @@ class Dataset:
         dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
         if signed:
             dtype = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
+        if isinstance(raw, EncapsulatedPixelData):
+            ts = self.get("TransferSyntaxUID")
+            if ts != RLE_LOSSLESS:
+                raise ValueError(
+                    f"encapsulated PixelData with unsupported transfer "
+                    f"syntax {ts}"
+                )
+            if len(raw.fragments) != nframes:
+                raise ValueError(
+                    f"RLE PixelData has {len(raw.fragments)} fragments for "
+                    f"{nframes} frames (RLE requires one fragment per frame)"
+                )
+            frames = [
+                _rle_decode_frame(f, rows, cols, samples, bits)
+                for f in raw.fragments
+            ]
+            # [F, samples, npix] -> samples-last like pydicom's pixel_array
+            a = np.stack(frames).astype(dtype)
+            a = np.moveaxis(a, 1, 2)
+            if samples > 1:
+                shape = ((nframes, rows, cols, samples) if nframes > 1
+                         else (rows, cols, samples))
+            else:
+                shape = (nframes, rows, cols) if nframes > 1 else (rows, cols)
+            return a.reshape(shape)
         arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
         count = rows * cols * samples * nframes
         arr = arr[:count]
@@ -353,9 +465,32 @@ def _read_dataset(r: _Reader, stop_at: Optional[int] = None) -> Dataset:
             ds.add(tag, "SQ", items)
             continue
         if length == 0xFFFFFFFF:
+            if tag == (0x7FE0, 0x0010):
+                # Encapsulated PixelData (PS3.5 A.4): a Basic Offset Table
+                # item (possibly empty) then one fragment item per frame,
+                # closed by a sequence delimiter.
+                offset_table = b""
+                frags: List[bytes] = []
+                first = True
+                while True:
+                    itag, _, ilen = r.read_element()
+                    if itag == (0xFFFE, 0xE0DD):
+                        break
+                    if itag != (0xFFFE, 0xE000) or ilen == 0xFFFFFFFF:
+                        raise ValueError(
+                            f"bad encapsulated pixel-data item {itag}"
+                        )
+                    data = bytes(r.raw(ilen))
+                    if first:
+                        offset_table = data
+                        first = False
+                    else:
+                        frags.append(data)
+                ds.add(tag, "OB", EncapsulatedPixelData(frags, offset_table))
+                continue
             raise ValueError(
-                f"undefined-length non-SQ element {tag} (encapsulated pixel "
-                "data / compressed transfer syntaxes are not supported)"
+                f"undefined-length non-SQ element {tag} (encapsulated "
+                "non-pixel data is not supported)"
             )
         raw = r.raw(length)
         if tag == (0x7FE0, 0x0010):
@@ -382,9 +517,10 @@ def read_file(path: str) -> Dataset:
                 break
             meta.add(tag, vr, _parse_value(vr, r.raw(length)))
         ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
-        if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE):
+        if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE, RLE_LOSSLESS):
             raise ValueError(f"unsupported transfer syntax {ts}")
-        body = _Reader(buf, explicit=(ts == EXPLICIT_VR_LE))
+        # RLE Lossless datasets are Explicit VR LE with encapsulated pixels.
+        body = _Reader(buf, explicit=(ts != IMPLICIT_VR_LE))
         body.pos = r.pos
         ds = _read_dataset(body)
         for e in meta:
@@ -470,7 +606,18 @@ def _encode_dataset(ds: Dataset, skip_meta: bool = True) -> bytes:
 
 
 def write_file(path: str, ds: Dataset) -> None:
-    """Write a Part-10 Explicit VR LE file."""
+    """Write a Part-10 Explicit VR LE file.
+
+    A dataset read from an RLE Lossless file carries EncapsulatedPixelData;
+    since this writer only emits native Explicit VR LE, such pixels are
+    transcoded (decoded) on write and the stale TransferSyntaxUID dropped.
+    """
+    if isinstance(ds.get("PixelData"), EncapsulatedPixelData):
+        ds = ds.copy()
+        arr = ds.pixel_array
+        native = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+        ds.add((0x7FE0, 0x0010), "OW", native.tobytes())
+        ds._elems.pop((0x0002, 0x0010), None)  # stale TransferSyntaxUID
     meta = Dataset()
     meta.add((0x0002, 0x0001), "OB", b"\x00\x01")
     meta.MediaStorageSOPClassUID = ds.get("SOPClassUID", MR_STORAGE)

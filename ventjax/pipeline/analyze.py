@@ -158,6 +158,45 @@ def analyze_cohort(
     return jax.vmap(lambda h, m: analyze_study(h, m, geom, config))(hp, mask)
 
 
+def analyze_cohort_grouped(
+    hp: jnp.ndarray,
+    mask: jnp.ndarray,
+    geom: CIGeometry,
+    config: VentConfig = DEFAULT_CONFIG,
+    group_size: int = 16,
+) -> VentResult:
+    """analyze_cohort over a large [N,H,W,D] cohort, executed as sequential
+    ``group_size``-lane groups inside ONE jitted program (lax.map).
+
+    Why not a single N-lane vmap: every lane of a vmapped while_loop runs
+    until the LAST lane converges (converged lanes freeze via their done
+    flag but still occupy device time), so a 256-lane N4 pays the cohort-max
+    iteration count on all lanes; per-chip throughput measured 238 vol/s at
+    256 lanes vs ~341 at 16 (benchmarks/RESULTS.md round 2).  Grouping
+    restores each 16-lane group's own convergence exit — and its own
+    adaptive defect compaction occupancy — while keeping one dispatch and
+    one compiled program.  Lanes are computationally independent (the same
+    property that makes the shard_map path bit-identical, tests/test_dist),
+    so results are bitwise equal to the ungrouped vmap.
+
+    N not divisible by group_size (or N <= group_size) falls back to the
+    plain vmap.  Composes with ventjax.dist.shard_cohort_fn: shard first,
+    then each device maps over its N/ndev/group_size groups.
+    """
+    B = hp.shape[0]
+    if B <= group_size or B % group_size != 0:
+        return analyze_cohort(hp, mask, geom, config)
+    G = B // group_size
+    gh = hp.reshape(G, group_size, *hp.shape[1:])
+    gm = mask.reshape(G, group_size, *mask.shape[1:])
+    res = jax.lax.map(
+        lambda t: analyze_cohort(t[0], t[1], geom, config), (gh, gm)
+    )
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(B, *x.shape[2:]), res
+    )
+
+
 def build_geometry(
     vox: Tuple[float, float, float],
     shape: Tuple[int, int, int],

@@ -122,9 +122,81 @@ def save_pickle(state: Dict, pickle_path: str) -> str:
     return pickle_path
 
 
-def load_pickle(pickle_path: str) -> Dict:
+# Modules the reference environment has but this one does not.  A pickle
+# written by the actual reference class (Vent_Analysis.py:542-553 pickles
+# self.__dict__ wholesale) embeds pydicom Dataset objects under its 'ds'
+# key; loading that here without detection would die inside pickle with an
+# opaque ModuleNotFoundError.
+_FOREIGN_MODULES = ("pydicom", "mapVbVd", "mapvbvd", "SimpleITK", "PyQt5",
+                    "pyqtgraph", "nibabel")
+
+
+class ReferencePickleError(RuntimeError):
+    """A pickle written by the reference app embeds objects from modules
+    unavailable here (pydicom etc.)."""
+
+
+class ForeignStub:
+    """Placeholder for an unpicklable foreign object (strip_foreign=True).
+
+    Captures whatever state pickle hands it so nothing crashes; repr names
+    the original class so users can see what was dropped."""
+
+    _foreign_class = "?"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def __setstate__(self, state):
+        self.__dict__["_foreign_state"] = state
+
+    def append(self, *a, **k):  # pydicom pickles some list-like containers
+        pass
+
+    def extend(self, *a, **k):
+        pass
+
+    def __repr__(self):
+        return f"<ForeignStub of {self._foreign_class}>"
+
+
+class _DetectingUnpickler(pickle.Unpickler):
+    def __init__(self, f, strip_foreign: bool):
+        super().__init__(f)
+        self._strip = strip_foreign
+        self.foreign_classes: list = []
+
+    def find_class(self, module, name):
+        if module.split(".")[0] in _FOREIGN_MODULES:
+            qual = f"{module}.{name}"
+            self.foreign_classes.append(qual)
+            if not self._strip:
+                raise ReferencePickleError(
+                    f"{qual} inside this pickle: it was written by the "
+                    "reference Vent_Analysis app, which embeds raw "
+                    f"{module.split('.')[0]} objects in its state "
+                    "(Vent_Analysis.py pickleMe). Options: (1) load with "
+                    "load_pickle(path, strip_foreign=True) to replace them "
+                    "with placeholders (all array/metric state is kept), or "
+                    "(2) in an environment with the reference installed, "
+                    "re-save after deleting the 'ds' attribute."
+                )
+            stub = type(f"ForeignStub_{name}", (ForeignStub,),
+                        {"_foreign_class": qual})
+            return stub
+        return super().find_class(module, name)
+
+
+def load_pickle(pickle_path: str, strip_foreign: bool = False) -> Dict:
+    """Load a study-state pickle (ours or the reference app's).
+
+    Reference-written pickles embed pydicom objects; by default loading one
+    raises ReferencePickleError with the conversion options instead of an
+    opaque ModuleNotFoundError.  strip_foreign=True substitutes ForeignStub
+    placeholders and returns the rest of the state."""
     with open(pickle_path, "rb") as f:
-        return pickle.load(f)
+        u = _DetectingUnpickler(f, strip_foreign)
+        return u.load()
 
 
 def study_filename(irb: str, metadata: Dict, **fields) -> str:
