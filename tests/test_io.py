@@ -83,3 +83,42 @@ def test_twix_roundtrip_and_fields(tmp_path, rng):
     assert tw.protocol_name == "vent_gre"
     assert tw.scan_datetime == "2024-03-01 10:15:00"
     assert np.allclose(tw.kspace(), k)
+
+
+def test_twix_vb_roundtrip_and_fields(tmp_path, rng):
+    """VB-era single-measurement layout (128-byte sMDH, channel id in the
+    MDH) — mapvbvd parses both eras (reference Vent_Analysis.py:532)."""
+    from ventjax.io.twix import write_synthetic_twix_vb
+
+    k = (rng.normal(size=(16, 12, 3))
+         + 1j * rng.normal(size=(16, 12, 3))).astype(np.complex64)
+    p = str(tmp_path / "vb.dat")
+    write_synthetic_twix_vb(p, k, protocol_name="vb_gre_vent",
+                            scan_datetime="2013-06-01 09:30:00")
+    tw = read_twix(p)
+    assert tw.protocol_name == "vb_gre_vent"
+    assert tw.scan_datetime == "2013-06-01 09:30:00"
+    assert tw.n_channels == 1
+    assert np.allclose(tw.kspace(), k)
+
+
+def test_twix_vb_multichannel(tmp_path, rng):
+    from ventjax.io.twix import write_synthetic_twix_vb
+
+    k = (rng.normal(size=(3, 8, 6, 2))
+         + 1j * rng.normal(size=(3, 8, 6, 2))).astype(np.complex64)
+    p = str(tmp_path / "vb_mc.dat")
+    write_synthetic_twix_vb(p, k)
+    tw = read_twix(p)
+    assert tw.n_channels == 3
+    with pytest.raises(ValueError):
+        tw.kspace()  # multi-coil must be explicit, same as VD/VE
+    assert np.allclose(tw.kspace_multicoil(), k)
+
+
+def test_twix_garbage_rejected(tmp_path):
+    p = str(tmp_path / "junk.dat")
+    with open(p, "wb") as f:
+        f.write(b"\xff" * 6)
+    with pytest.raises(ValueError):
+        read_twix(p)

@@ -22,6 +22,66 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def test_four_process_cohort_driver_with_resume(tmp_path):
+    """4 processes x 2 devices: the streaming cohort driver over a global
+    8-device mesh, process 0 owning exports/markers; a rerun resumes to a
+    no-op and every subject is exported exactly once (round-2 VERDICT
+    item 8)."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from ventjax.io.synthetic import write_study
+
+    workdir = str(tmp_path)
+    manifest = []
+    for i in range(6):
+        root = os.path.join(workdir, f"study{i}")
+        write_study(root, shape=(32, 32, 8), vox=(1.5, 1.5, 10.0),
+                    seed=50 + i, with_proton=False)
+        manifest.append({"id": f"s{i}", "xenon": f"{root}/xenon.dcm",
+                         "mask": f"{root}/mask"})
+    with open(os.path.join(workdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_cohort_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "4", workdir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(4)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_COHORT_OK" in out, out
+    # all processes observed identical metrics for the shared cohort
+    lines = [next(l for l in o.splitlines() if "MULTIHOST_COHORT_OK" in l)
+             for o in outs]
+    vdp_strs = {l.split("vdps=")[1] for l in lines}
+    assert len(vdp_strs) == 1, vdp_strs
+    # exactly-once: every subject has its .done marker and metrics
+    for i in range(6):
+        sdir = os.path.join(workdir, "out", f"s{i}")
+        assert os.path.exists(os.path.join(sdir, ".done"))
+        m = json.load(open(os.path.join(sdir, "metrics.json")))
+        assert m["valid"]
+
+
 def test_two_process_distributed_cohort():
     # (timeout guard is the subprocess communicate() below — pytest-timeout
     # is not installed in this image)

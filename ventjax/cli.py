@@ -54,20 +54,22 @@ def _cmd_analyze(args) -> int:
         if args.proton is None:
             print("error: --auto-mask needs --proton", file=sys.stderr)
             return 2
-        if not args.seg_ckpt:
-            print("error: --auto-mask needs --seg-ckpt (train one with "
-                  "`python -m ventjax train-seg`)", file=sys.stderr)
-            return 2
         import numpy as np
         import jax.numpy as jnp
         from ventjax.io.dicom import open_single_dicom
         from ventjax.models.segmentation import (
-            SegUNet, load_checkpoint, predict_mask,
+            SegUNet, default_checkpoint_path, load_checkpoint, predict_mask,
         )
 
+        ckpt = args.seg_ckpt or default_checkpoint_path()
+        if not os.path.isdir(ckpt):
+            print("error: --auto-mask needs --seg-ckpt (train one with "
+                  "`python -m ventjax train-seg`); shipped artifact not "
+                  f"found at {ckpt}", file=sys.stderr)
+            return 2
         _, proton_arr = open_single_dicom(args.proton)
         model = SegUNet(base=args.seg_base)
-        state = load_checkpoint(os.path.abspath(args.seg_ckpt))
+        state = load_checkpoint(os.path.abspath(ckpt))
         mask_array = np.asarray(predict_mask(
             model, state.params, jnp.asarray(proton_arr.astype(np.float32))
         ))
@@ -184,7 +186,7 @@ def _cmd_train_seg(args) -> int:
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from ventjax.io.phantom import make_cohort
+    from ventjax.io.phantom import make_cohort, make_random_cohort
     from ventjax.models.segmentation import (
         create_train_state, save_checkpoint, train_step,
     )
@@ -197,14 +199,25 @@ def _cmd_train_seg(args) -> int:
     step = jax.jit(lambda s, p, m: train_step(model, tx, s, p, m))
     loss = float("nan")
     for i in range(args.steps):
-        _, mask, proton = make_cohort(
-            args.batch, shape=shape, seed=args.seed + 1 + i
-        )
+        # Domain-randomized phantoms (geometry/contrast/noise/bias/partial-
+        # volume edges vary per sample) so the checkpoint generalizes past
+        # one generator configuration; --plain-phantoms restores the old
+        # fixed-generator behavior.
+        if args.plain_phantoms:
+            _, mask, proton = make_cohort(
+                args.batch, shape=shape, seed=args.seed + 1 + i
+            )
+        else:
+            _, mask, proton = make_random_cohort(
+                args.batch, shape=shape,
+                seed=args.seed + 1 + i * args.batch,
+            )
         state, loss_t = step(state, jnp.asarray(proton), jnp.asarray(mask))
         if (i + 1) % 25 == 0 or i == 0:
             loss = float(np.asarray(loss_t))
             print(f"step {i + 1}/{args.steps}: loss {loss:.4f}", flush=True)
-    save_checkpoint(os.path.abspath(args.out), state)
+    save_checkpoint(os.path.abspath(args.out), state,
+                    params_only=args.params_only)
     print(json.dumps({"checkpoint": os.path.abspath(args.out),
                       "steps": args.steps, "final_loss": loss}))
     return 0
@@ -317,6 +330,12 @@ def main(argv=None) -> int:
     ts.add_argument("--base", type=int, default=16)
     ts.add_argument("--seed", type=int, default=0)
     ts.add_argument("--lr", type=float, default=1e-3)
+    ts.add_argument("--params-only", action="store_true",
+                    help="save an inference-only checkpoint (no optimizer "
+                    "state; the shipped-artifact form)")
+    ts.add_argument("--plain-phantoms", action="store_true",
+                    help="train on the fixed-generator phantoms instead of "
+                    "the domain-randomized ones")
     ts.set_defaults(fn=_cmd_train_seg)
 
     c = sub.add_parser("cohort", help="batched cohort run from a manifest")

@@ -24,9 +24,16 @@ Layout vs mapvbvd (the reference's reader):
   channel overwrite.
 
 The exact MDH field layout below is written/read from the same struct
-definitions, and `write_synthetic_twix` produces files in this layout for
-round-trip tests.  Real scanner files that follow the standard VD/VE layout
-parse too; VB-era files are not supported (clearly rejected).
+definitions, and `write_synthetic_twix` / `write_synthetic_twix_vb` produce
+files in these layouts for round-trip tests.  Real scanner files that follow
+the standard layouts parse too.
+
+VB-era files (single measurement, 128-byte sMDH with the channel id INSIDE
+each MDH, no separate channel headers) are supported alongside VD/VE
+(mapvbvd parses both, reference Vent_Analysis.py:532).  Dispatch uses
+mapvbvd's published heuristic: first uint32 < 10000 and second uint32 in
+[1, 64) means a VD/VE multi-raid header, anything else is a VB header
+length.
 """
 from __future__ import annotations
 
@@ -51,6 +58,17 @@ _CH_SIZE = struct.calcsize(_CH_FMT)
 assert _CH_SIZE == 32, _CH_SIZE
 
 ACQEND = 1 << 0
+
+# VB-era sMDH (128 bytes): the channel id lives inside the MDH and each
+# channel repeats the full MDH — no separate 32-byte channel header.
+_MDH_VB_FMT = "<IiIII II HH 28s 4s HH fI HH 8s 8s 28s HH"
+# DMALength/flags, MeasUID, ScanCounter, TimeStamp, PMUTimeStamp,
+# EvalInfoMask(2xu32), SamplesInScan, UsedChannels, LoopCounters(14xu16),
+# CutOffData, CentreColumn, CoilSelect, ReadOutOffcentre, TimeSinceLastRF,
+# CentreLine, CentrePartition, IceProgramPara(4xu16), FreePara(4xu16),
+# SliceData(28), ChannelId, PTABPosNeg
+_MDH_VB_SIZE = struct.calcsize(_MDH_VB_FMT)
+assert _MDH_VB_SIZE == 128, _MDH_VB_SIZE
 
 
 @dataclasses.dataclass
@@ -117,16 +135,53 @@ def _parse_protocol(text: str) -> Tuple[str, str]:
     return proto, stamp
 
 
+def _read_twix_vb(buf: bytes) -> TwixMeasurement:
+    """Parse a VB-era single-measurement .dat: u32 header length, protocol
+    text, then 128-byte sMDH + sample blocks (one block per channel)."""
+    hdr_len = struct.unpack_from("<I", buf, 0)[0]
+    if not (4 <= hdr_len <= len(buf)):
+        raise ValueError(f"not a twix file (VB header length {hdr_len})")
+    header_text = buf[4:hdr_len].decode("latin-1", "replace")
+    proto, stamp = _parse_protocol(header_text)
+
+    pos = hdr_len
+    scans: List[TwixScan] = []
+    meas_id = 0
+    while pos + _MDH_VB_SIZE <= len(buf):
+        fields = struct.unpack_from(_MDH_VB_FMT, buf, pos)
+        meas_id = fields[1]
+        eval_mask = fields[5]
+        n_samples = fields[7]
+        loop = struct.unpack("<14H", fields[9])
+        line, slc = loop[0], loop[2]
+        channel = fields[20]  # ChannelId (after the 28-byte SliceData)
+        pos += _MDH_VB_SIZE
+        if eval_mask & ACQEND:
+            break
+        raw = np.frombuffer(buf, np.complex64, n_samples, pos)
+        pos += n_samples * 8
+        scans.append(TwixScan(line=line, slice=slc, channel=channel,
+                              data=raw.copy()))
+    return TwixMeasurement(
+        meas_id=meas_id,
+        protocol_name=proto,
+        scan_datetime=stamp,
+        header_text=header_text,
+        scans=scans,
+    )
+
+
 def read_twix(path: str) -> TwixMeasurement:
-    """Parse a VD/VE .dat file; returns the LAST measurement (the image
-    scan, by Siemens convention)."""
+    """Parse a .dat file — VD/VE multi-raid or VB-era single measurement
+    (returns the LAST measurement, the image scan by Siemens convention)."""
     with open(path, "rb") as f:
         buf = f.read()
+    if len(buf) < 8:
+        raise ValueError("not a twix file (shorter than 8 bytes)")
     raid_id, n_meas = struct.unpack_from("<II", buf, 0)
-    if not (0 < n_meas < 64):
-        raise ValueError(
-            "not a VD/VE multi-raid twix file (VB-era files unsupported)"
-        )
+    if not (raid_id < 10000 and 0 < n_meas < 64):
+        # mapvbvd's layout heuristic: anything else is a VB header length.
+        return _read_twix_vb(buf)
     entries = []
     off = 8
     for _ in range(n_meas):
@@ -230,5 +285,48 @@ def write_synthetic_twix(
     out += entry
     out += b"\x00" * pad
     out += body
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def write_synthetic_twix_vb(
+    path: str,
+    kspace: np.ndarray,   # [columns, lines, slices] or [chan, col, lin, sli]
+    protocol_name: str = "fl_gre_vent",
+    scan_datetime: str = "2013-06-01 09:30:00",
+) -> None:
+    """Write a VB-era-layout .dat file for tests: u32 header length +
+    protocol text, then one 128-byte sMDH + samples per (channel, line,
+    slice), closed by an ACQEND MDH."""
+    if kspace.ndim == 3:
+        kspace = kspace[None]
+    n_cha, n_col, n_lin, n_sli = kspace.shape
+    header_text = (
+        f'<XProtocol> tProtocolName = "{protocol_name}"\n'
+        f'PrepareTimestamp = "{scan_datetime}"\n'
+    )
+    hdr = header_text.encode("latin-1")
+    out = bytearray()
+    out += struct.pack("<I", 4 + len(hdr)) + hdr
+    loop = bytearray(28)
+
+    def mdh(lin, sli, cha, n_samples, mask):
+        struct.pack_into("<14H", loop, 0, lin, 0, sli, 0, 0, 0, 0, 0, 0,
+                         0, 0, 0, 0, 0)
+        return struct.pack(
+            _MDH_VB_FMT,
+            0, 7, lin + 1, 0, 0, mask, 0, n_samples, n_cha, bytes(loop),
+            b"\x00" * 4, n_col // 2, 0, 0.0, 0, n_lin // 2, 0,
+            b"\x00" * 8, b"\x00" * 8, b"\x00" * 28, cha, 0,
+        )
+
+    for sli in range(n_sli):
+        for lin in range(n_lin):
+            for cha in range(n_cha):
+                out += mdh(lin, sli, cha, n_col, 0)
+                out += np.ascontiguousarray(
+                    kspace[cha, :, lin, sli], np.complex64
+                ).tobytes()
+    out += mdh(0, 0, 0, 0, ACQEND)
     with open(path, "wb") as f:
         f.write(out)

@@ -130,22 +130,41 @@ def make_sharded_train_step(model, tx, mesh):
     )
 
 
-def save_checkpoint(path: str, state: TrainState) -> None:
-    """Persist training state with orbax (SURVEY.md §5 checkpoint/resume)."""
+def save_checkpoint(path: str, state: TrainState,
+                    params_only: bool = False) -> None:
+    """Persist training state with orbax (SURVEY.md §5 checkpoint/resume).
+
+    params_only drops the optimizer moments — the form the shipped
+    inference artifact (ventjax/models/seg_ckpt) uses, 1/3 the size."""
     import orbax.checkpoint as ocp
 
+    tree = {"params": state.params, "step": state.step}
+    if not params_only:
+        tree["opt_state"] = state.opt_state
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
-                      "step": state.step}, force=True)
+    ckptr.save(path, tree, force=True)
 
 
 def load_checkpoint(path: str) -> TrainState:
+    """Restore a checkpoint; params-only artifacts come back with
+    opt_state=None (fine for inference; re-init the optimizer to resume
+    training)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
     tree = ckptr.restore(path)
-    return TrainState(params=tree["params"], opt_state=tree["opt_state"],
+    return TrainState(params=tree["params"],
+                      opt_state=tree.get("opt_state"),
                       step=jnp.asarray(tree["step"]))
+
+
+def default_checkpoint_path() -> str:
+    """The shipped domain-randomized segmentation artifact (analyze
+    --auto-mask uses it when --seg-ckpt is not given)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "seg_ckpt")
 
 
 def predict_mask(model, params, proton: jnp.ndarray, thresh: float = 0.5):
