@@ -53,6 +53,10 @@ def make_studies(n: int, shape, fresh: bool) -> list:
 
 
 def main() -> None:
+    if os.environ.get("VENTJAX_DEBUG_STACKS"):
+        import faulthandler
+
+        faulthandler.dump_traceback_later(120, repeat=True)
     p = argparse.ArgumentParser()
     p.add_argument("--subjects", type=int, default=256)
     p.add_argument("--batch", type=int, default=16)

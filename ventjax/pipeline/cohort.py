@@ -281,25 +281,16 @@ def run_cohort(
     retry_lock = threading.Lock()
     retry_queue: deque = deque()
 
-    def _export_batch(runner, batch, res, pads):
+    def _export_batch(runner, batch, pack, pads):
         try:
             # One batched device->host transfer per array (a [B,H,W,D]
             # transfer costs barely more than a [H,W,D] one here; per-lane
             # or per-scalar transfers each pay the full sync latency).
             # This is also the first host sync of the batch — the overflow
-            # check lives here, off the dispatch thread.
-            #
-            # Transfer ONLY what the export writes: n4 + ci_map in f32,
-            # defect as uint8 (it is 0/1), metrics.  The full VentResult
-            # would also ship defect_lb/defect_km/defect_border — 3 unused
-            # volumes, tripling the payload on a link measured at 39 MB/s
-            # (docs/PERF.md streaming decomposition).
-            pack = {
-                "n4": res.n4,
-                "defect": res.defect.astype(jnp.uint8),
-                "ci_map": res.ci_map,
-                "metrics": res.metrics,
-            }
+            # check lives here, off the dispatch thread.  (The pack itself
+            # was assembled on the DISPATCH thread: device computations
+            # dispatched from worker threads wedge the axon tunnel; this
+            # thread only pulls results.)
             host = jax.tree_util.tree_map(np.asarray, pack)
             n = len(batch)
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
@@ -339,7 +330,7 @@ def run_cohort(
 
             pack = {
                 "n4": res.n4,
-                "defect": res.defect.astype(jnp.uint8),
+                "defect": res.defect,
                 "ci_map": res.ci_map,
                 "metrics": res.metrics,
             }
@@ -369,9 +360,24 @@ def run_cohort(
                                 lambda x: x[lane], host)["metrics"].as_dict(),
                         })
         else:
+            # Transfer ONLY what the export writes: n4, defect, ci_map,
+            # metrics.  The full VentResult would also ship defect_lb/
+            # defect_km/defect_border — 3 unused volumes, nearly tripling
+            # the payload on a link measured at 39 MB/s (docs/PERF.md
+            # streaming decomposition).  NOTE: no dtype-narrowing cast here
+            # — an eager astype dispatched outside the jitted program
+            # wedges the axon tunnel when worker threads are concurrently
+            # reading results (observed live-lock, benchmarks/streaming.py
+            # stack dumps); plain jit-output reads are safe.
+            pack = {
+                "n4": res.n4,
+                "defect": res.defect,
+                "ci_map": res.ci_map,
+                "metrics": res.metrics,
+            }
             export_slots.acquire()
             export_futures.append(
-                export_pool.submit(_export_batch, runner, batch, res, pads)
+                export_pool.submit(_export_batch, runner, batch, pack, pads)
             )
         if not is_retry:
             n_done += len(batch)
