@@ -63,9 +63,13 @@ def test_automask_analysis_close_to_hand_mask(tmp_path, model_and_params,
     """End-to-end: --auto-mask metrics within tolerance of the hand-mask
     run on the same study (the VERDICT's acceptance shape)."""
     from ventjax.cli import main
+    from ventjax.io.phantom import make_phantom
     from ventjax.io.synthetic import write_study
 
-    ph = make_random_phantom(10_100, shape=(128, 128, 16))
+    # The fixed-generator phantom: plants real defects (the randomized
+    # generator is defect-free by design) and its proton contrast is inside
+    # the randomized training distribution.
+    ph = make_phantom(shape=(128, 128, 16), vox=(1.5, 1.5, 10.0), seed=77)
     root = str(tmp_path / "study")
     write_study(root, phantom=ph)
 

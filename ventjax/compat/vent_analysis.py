@@ -201,7 +201,10 @@ class Vent_Analysis:
             config=self.config,
         )
         cvlist = np.sort(self.CIarray[self.defectArray > 0])
-        self.metadata["CI"] = cvlist[int(0.95 * len(cvlist))]
+        # No defect voxels: NaN, matching the device pipeline
+        # (pipeline/analyze.py); the reference raises IndexError there.
+        self.metadata["CI"] = (cvlist[int(0.95 * len(cvlist))]
+                               if len(cvlist) else float("nan"))
         return self.CIarray
 
     def N4_bias_correction(self, HPvent, mask):

@@ -148,11 +148,22 @@ def save_checkpoint(path: str, state: TrainState,
 def load_checkpoint(path: str) -> TrainState:
     """Restore a checkpoint; params-only artifacts come back with
     opt_state=None (fine for inference; re-init the optimizer to resume
-    training)."""
+    training).
+
+    Restores as host numpy so a checkpoint written on one backend (the
+    artifact is trained on TPU) loads on any other (CPU tests) — orbax
+    otherwise demands the saved sharding's device."""
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(path)
+    meta = ckptr.metadata(path)
+    item = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    item_tree = dict(item.tree) if hasattr(item, "tree") else item
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), item_tree
+    )
+    tree = ckptr.restore(path, restore_args=restore_args)
     return TrainState(params=tree["params"],
                       opt_state=tree.get("opt_state"),
                       step=jnp.asarray(tree["step"]))

@@ -96,7 +96,8 @@ def _sharpen_expectation(hist, binmin, slope, bins, fwhm, wiener_noise,
     return jax.lax.dynamic_slice(expectation, (offset - 1,), (bins + 2,))
 
 
-def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
+def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset,
+                 binmin=None, binmax=None):
     """Histogram-sharpen a padded masked-value vector (weights wv in {0,1}).
 
     Same math as the dense triangular-kernel version (and the float64 oracle,
@@ -107,11 +108,17 @@ def _sharpen_vec(logu, wv, bins, fwhm, wiener_noise, padded, offset):
     expectation interpolation into tiny one-hot matmuls — [G,P]@[P,16] and
     [P,G]@[G,16] — instead of [P,bins] dense broadcasting (which at
     bins=200 is ~10x the VPU work and materializes in HBM).
+
+    binmin/binmax: optional precomputed masked range of logu (the fused
+    delta kernel emits it a whole iteration early — VERDICT r2 item 9);
+    None computes it here.
     """
     dtype = logu.dtype
     hiprec = jax.lax.Precision.HIGH
-    binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
-    binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
+    if binmin is None:
+        binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
+    if binmax is None:
+        binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
     slope = (binmax - binmin) / (bins - 1)
 
     t = jnp.clip((logu - binmin) / slope, 0.0, float(bins - 1)) * wv
@@ -337,20 +344,7 @@ def n4_bias_correction(
                 basis_rows_padded(bsv, 2),
                 ncp, interpret=interpret,
             )
-
-            def fit_phase(a_v, ncp=ncp, den_p=den_p, br1=br1, bc1=bc1,
-                          bs1=bs1, br3=br3, bc3=bc3, bs3=bs3):
-                num_p = fit_moment_pallas(
-                    a_v, br3, bc3, bs3, ncp, interpret=interpret
-                )
-                phi_p = jnp.where(
-                    den_p != 0.0,
-                    num_p / jnp.where(den_p != 0.0, den_p, 1.0), 0.0,
-                )
-                d, s1, s2 = fit_delta_conv_pallas(
-                    phi_p, br1, bc1, bs1, wv, ncp, interpret=interpret
-                )
-                return phi_p[:ncp, : ncp * ncp], d, s1, s2
+            fit_phase = None  # fused loop below; no separate fit closure
         else:
             # XLA fit: iteration-invariant outer-product operands
             # BO^k[p, d*ncp+e] = bcv^k[p,d] * bsv^k[p,e]; the 3-way point
@@ -393,51 +387,93 @@ def n4_bias_correction(
 
         phi_total = jnp.zeros((ncp, ncp * ncp), dtype)
 
-        def body(carry, fit_phase=fit_phase, sv=sv, lvl_pallas=lvl_pallas):
-            i, field_v, phi_total, done, _ = carry
-            logu = (logv - field_v) * wv
+        def _a_v_from(logu, bmn, bmx, sv=sv):
+            """Sharpen phase -> fit target a_v, given logu and its masked
+            range (precomputed by the fused delta kernel when available)."""
             if sharpen_use:
                 # Pallas sharpen: the histogram build and the E-interp /
                 # residual run in VMEM (ventjax/ops/n4_pallas.py); only
                 # the tiny 512-pt Wiener-sharpening chain stays in XLA.
-                binmin = jnp.min(jnp.where(wv > 0, logu, jnp.inf))
-                binmax = jnp.max(jnp.where(wv > 0, logu, -jnp.inf))
-                slope = (binmax - binmin) / (bins - 1)
+                slope = (bmx - bmn) / (bins - 1)
                 hist = sharpen_hist_pallas(
-                    logu, wv, binmin, slope, bins, interpret=interpret
+                    logu, wv, bmn, slope, bins, interpret=interpret
                 )
                 e_loc = _sharpen_expectation(
-                    hist, binmin, slope, bins, fwhm, wiener_noise, padded,
+                    hist, bmn, slope, bins, fwhm, wiener_noise, padded,
                     offset,
                 )
                 e256 = jnp.zeros(256, dtype).at[:bins + 2].set(e_loc)
-                a_v = sharpen_resid_pallas(
-                    logu, wv, sv, e256, binmin, slope, bins,
+                return sharpen_resid_pallas(
+                    logu, wv, sv, e256, bmn, slope, bins,
                     interpret=interpret,
                 )
-            else:
-                sharpened = _sharpen_vec(
-                    logu, wv, bins, fwhm, wiener_noise, padded, offset
-                )
-                residual = (logu - sharpened) * wv
-                # flush sub-normals (CPU denormal emulation is ~100x slower)
-                residual = jnp.where(
-                    jnp.abs(residual) < 1e-18, 0.0, residual
-                )
-                a_v = residual / jnp.maximum(sv, 1e-30)
+            sharpened = _sharpen_vec(
+                logu, wv, bins, fwhm, wiener_noise, padded, offset,
+                binmin=bmn, binmax=bmx,
+            )
+            residual = (logu - sharpened) * wv
+            # flush sub-normals (CPU denormal emulation is ~100x slower)
+            residual = jnp.where(jnp.abs(residual) < 1e-18, 0.0, residual)
+            return residual / jnp.maximum(sv, 1e-30)
 
-            # ITK's convergence measurement: CV of exp(old - new) =
-            # exp(-delta) over the mask
-            # (itkN4BiasFieldCorrectionImageFilter.hxx).
-            nmask = jnp.sum(wv)
-            if lvl_pallas:
-                # delta kernel also accumulates the convergence sums
-                # around ed - 1 (one-pass variance, cancellation-free).
-                phi, delta, s1, s2 = fit_phase(a_v)
+        def _masked_range(logu):
+            return (jnp.min(jnp.where(wv > 0, logu, jnp.inf)),
+                    jnp.max(jnp.where(wv > 0, logu, -jnp.inf)))
+
+        if lvl_pallas:
+            from ventjax.ops.n4_pallas import fit_delta_conv_field_pallas
+
+            def body(carry, ncp=ncp, den_p=den_p, br1=br1, bc1=bc1,
+                     bs1=bs1, br3=br3, bc3=bc3, bs3=bs3):
+                # Fused iteration tail (VERDICT r2 item 9): the delta
+                # kernel emits the done-frozen field, the next logu, AND
+                # its histogram range — the only XLA glue left per
+                # iteration is the scalar CV arithmetic.
+                i, field_v, phi_total, done, itc, logu, bmn, bmx = carry
+                a_v = _a_v_from(logu, bmn, bmx)
+                num_p = fit_moment_pallas(
+                    a_v, br3, bc3, bs3, ncp, interpret=interpret
+                )
+                phi_p = jnp.where(
+                    den_p != 0.0,
+                    num_p / jnp.where(den_p != 0.0, den_p, 1.0), 0.0,
+                )
+                nf, lu, s1, s2, nbmn, nbmx = fit_delta_conv_field_pallas(
+                    phi_p, br1, bc1, bs1, wv, field_v, logv, done, ncp,
+                    interpret=interpret,
+                )
+                # ITK convergence: CV of exp(-delta) over the mask, from
+                # the kernel's cancellation-free (ed-1) moments.
+                nmask = jnp.sum(wv)
                 mu = 1.0 + s1 / nmask
                 var = jnp.maximum((s2 - s1 * s1 / nmask) / nmask, 0.0)
                 cv = jnp.sqrt(var) / mu
-            else:
+                phi = phi_p[:ncp, : ncp * ncp]
+                new_phi = jnp.where(done, phi_total, phi_total + phi)
+                new_done = done | (cv < convergence_threshold)
+                itc = itc + (~done).astype(jnp.int32)
+                return i + 1, nf, new_phi, new_done, itc, lu, nbmn, nbmx
+
+            logu0 = (logv - field_v) * wv
+            bmn0, bmx0 = _masked_range(logu0)
+            out = jax.lax.while_loop(
+                lambda c: (c[0] < max_iters) & ~c[3],
+                body,
+                (jnp.asarray(0), field_v, phi_total, jnp.asarray(False),
+                 jnp.asarray(0), logu0, bmn0, bmx0),
+            )
+            _, field_v, phi_total, _, itc = out[:5]
+        else:
+            def body(carry, fit_phase=fit_phase):
+                i, field_v, phi_total, done, _ = carry
+                logu = (logv - field_v) * wv
+                bmn, bmx = _masked_range(logu)
+                a_v = _a_v_from(logu, bmn, bmx)
+
+                # ITK's convergence measurement: CV of exp(old - new) =
+                # exp(-delta) over the mask
+                # (itkN4BiasFieldCorrectionImageFilter.hxx).
+                nmask = jnp.sum(wv)
                 phi, raw = fit_phase(a_v)
                 delta = jnp.where(jnp.abs(raw) < 1e-18, 0.0, raw) * wv
                 ed = jnp.exp(-delta)
@@ -445,18 +481,18 @@ def n4_bias_correction(
                 sd = jnp.sqrt(jnp.sum(wv * (ed - mu) ** 2) / nmask)
                 cv = sd / mu
 
-            new_field = jnp.where(done, field_v, field_v + delta)
-            new_phi = jnp.where(done, phi_total, phi_total + phi)
-            new_done = done | (cv < convergence_threshold)
-            itc = carry[4] + (~done).astype(jnp.int32)
-            return i + 1, new_field, new_phi, new_done, itc
+                new_field = jnp.where(done, field_v, field_v + delta)
+                new_phi = jnp.where(done, phi_total, phi_total + phi)
+                new_done = done | (cv < convergence_threshold)
+                itc = carry[4] + (~done).astype(jnp.int32)
+                return i + 1, new_field, new_phi, new_done, itc
 
-        _, field_v, phi_total, _, itc = jax.lax.while_loop(
-            lambda c: (c[0] < max_iters) & ~c[3],
-            body,
-            (jnp.asarray(0), field_v, phi_total, jnp.asarray(False),
-             jnp.asarray(0)),
-        )
+            _, field_v, phi_total, _, itc = jax.lax.while_loop(
+                lambda c: (c[0] < max_iters) & ~c[3],
+                body,
+                (jnp.asarray(0), field_v, phi_total, jnp.asarray(False),
+                 jnp.asarray(0)),
+            )
         level_iters.append(itc)
         phi_totals.append((level, phi_total))
 

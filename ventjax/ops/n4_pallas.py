@@ -374,6 +374,99 @@ def _delta_conv_kernel(phi_ref, br_ref, bc_ref, bs_ref, sd_ref, se_ref,
         lio == 1, s2, 0.0)
 
 
+def _delta_conv_field_kernel(phi_ref, br_ref, bc_ref, bs_ref, sd_ref,
+                             se_ref, wv_ref, fv_ref, lv_ref, dn_ref,
+                             nf_ref, lu_ref, cv_ref):
+    """_delta_conv_kernel + the per-iteration XLA glue folded in
+    (round-2 VERDICT item 9): the done-frozen field update, the NEXT
+    iteration's log-residual logu' = (logv - field')*wv, and its masked
+    min/max (the sharpen phase's histogram range) — all while delta is
+    still in VMEM.  cv slots: [s1, s2, logu_min, logu_max, ...]."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        lio0 = jax.lax.broadcasted_iota(jnp.int32, (1, FP), 1)
+        cv_ref[:, :] = jnp.where(
+            lio0 == 2, jnp.inf, jnp.where(lio0 == 3, -jnp.inf, 0.0)
+        )
+
+    outer = _outer_fp(bc_ref[:, :], bs_ref[:, :], sd_ref, se_ref)
+    g = jax.lax.dot_general(
+        phi_ref[:, :].astype(jnp.bfloat16), outer, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    br = br_ref[:, :].astype(jnp.float32)
+    raw = jnp.sum(br * g, axis=0, keepdims=True)              # [1, PC]
+    wv = wv_ref[:, :]
+    d = jnp.where(jnp.abs(raw) < 1e-18, 0.0, raw) * wv
+    freeze = dn_ref[0, 0]  # 1.0 once this lane's level has converged
+    nf = fv_ref[:, :] + (1.0 - freeze) * d
+    nf_ref[:, :] = nf
+    lu = (lv_ref[:, :] - nf) * wv
+    lu_ref[:, :] = lu
+    e1 = jnp.exp(-d) - 1.0
+    s1 = jnp.sum(wv * e1)
+    s2 = jnp.sum(wv * e1 * e1)
+    bmin = jnp.min(jnp.where(wv > 0, lu, jnp.inf))
+    bmax = jnp.max(jnp.where(wv > 0, lu, -jnp.inf))
+    lio = jax.lax.broadcasted_iota(jnp.int32, (1, FP), 1)
+    old = cv_ref[:, :]
+    cv_ref[:, :] = jnp.where(
+        lio == 0, old + s1,
+        jnp.where(lio == 1, old + s2,
+                  jnp.where(lio == 2, jnp.minimum(old, bmin),
+                            jnp.where(lio == 3, jnp.maximum(old, bmax),
+                                      old))))
+
+
+@functools.partial(jax.jit, static_argnames=("ncp", "interpret"))
+def fit_delta_conv_field_pallas(
+    phi: jnp.ndarray,
+    br1: jnp.ndarray, bc1: jnp.ndarray, bs1: jnp.ndarray,
+    wv: jnp.ndarray,
+    field_v: jnp.ndarray,
+    logv: jnp.ndarray,
+    done: jnp.ndarray,
+    ncp: int,
+    interpret: bool = False,
+):
+    """(new_field [P], logu' [P], s1, s2, logu_min, logu_max).
+
+    new_field = field_v + delta·wv (frozen where done), logu' is the next
+    iteration's masked log-residual with its histogram range — the whole
+    per-iteration tail in one kernel pass."""
+    P = br1.shape[1]
+    assert P % PC == 0, P
+    grid = (P // PC,)
+    bspec = pl.BlockSpec((CP, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((CP, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, PC), lambda i: (0, i), memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, FP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((FP, CP), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    sd, se = _selection_mats(int(ncp))
+    nf, lu, cv = pl.pallas_call(
+        _delta_conv_field_kernel,
+        grid=grid,
+        in_specs=[pspec, bspec, bspec, bspec, sspec, sspec, vspec, vspec,
+                  vspec, dspec],
+        out_specs=[vspec, vspec, cspec],
+        out_shape=[jax.ShapeDtypeStruct((1, P), jnp.float32),
+                   jax.ShapeDtypeStruct((1, P), jnp.float32),
+                   jax.ShapeDtypeStruct((1, FP), jnp.float32)],
+        interpret=interpret,
+    )(
+        phi.astype(jnp.float32),
+        br1, bc1, bs1,
+        jnp.asarray(sd, jnp.bfloat16), jnp.asarray(se, jnp.bfloat16),
+        wv.reshape(1, P),
+        field_v.reshape(1, P).astype(jnp.float32),
+        logv.reshape(1, P).astype(jnp.float32),
+        done.astype(jnp.float32).reshape(1, 1),
+    )
+    return (nf.reshape(P), lu.reshape(P), cv[0, 0], cv[0, 1], cv[0, 2],
+            cv[0, 3])
+
+
 @functools.partial(jax.jit, static_argnames=("ncp", "interpret"))
 def fit_delta_conv_pallas(
     phi: jnp.ndarray,
