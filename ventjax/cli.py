@@ -13,6 +13,7 @@ Usage:
       [--user RPT] [--no-ci]
   python -m ventjax cohort --manifest subjects.json --out OUT [--batch 16]
   python -m ventjax twix --dat FILE.dat --out OUT
+  python -m ventjax gui [--xenon X.dcm --mask MASKDIR ...]
   python -m ventjax info
 """
 from __future__ import annotations
@@ -255,6 +256,24 @@ def _cmd_twix(args) -> int:
     return 0
 
 
+def _cmd_gui(args) -> int:
+    from ventjax.gui.app import GuiUnavailableError, launch
+    from ventjax.gui.controller import GuiState, VentController
+
+    state = GuiState(
+        dicom_path=args.xenon or "", mask_path=args.mask or "",
+        proton_path=args.proton or "", twix_path=args.twix or "",
+        export_path=args.out or "", archive_path=args.archive or "",
+        user=args.user or "",
+    )
+    try:
+        launch(VentController(state))
+    except GuiUnavailableError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    return 0
+
+
 def _cmd_info(args) -> int:
     import dataclasses
 
@@ -356,6 +375,17 @@ def main(argv=None) -> int:
     t.add_argument("--dat", required=True)
     t.add_argument("--out", required=True)
     t.set_defaults(fn=_cmd_twix)
+
+    g = sub.add_parser(
+        "gui", help="desktop GUI (tkinter port of the reference app)")
+    g.add_argument("--xenon", default=None, help="prefill the DICOM path")
+    g.add_argument("--mask", default=None, help="prefill the mask folder")
+    g.add_argument("--proton", default=None)
+    g.add_argument("--twix", default=None)
+    g.add_argument("--out", default=None, help="prefill the export path")
+    g.add_argument("--archive", default=None, help="archive pickle dir")
+    g.add_argument("--user", default=None)
+    g.set_defaults(fn=_cmd_gui)
 
     i = sub.add_parser("info", help="version / device info")
     i.set_defaults(fn=_cmd_info)
