@@ -171,3 +171,99 @@ def test_twix_single_channel_unchanged():
     assert tw.n_channels == 1
     np.testing.assert_allclose(tw.kspace(), k.astype(np.complex128),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Transfer syntaxes beyond plain LE (VERDICT r2 "missing" C2 family):
+# pydicom 2.3.0 natively decodes Deflated Explicit VR LE and the retired
+# Explicit VR Big Endian, so the reference app ingests them; the codec must
+# too.  RLE Lossless has its own suite (test_io_rle.py).
+# ---------------------------------------------------------------------------
+
+def _meta_group(ts_uid: str) -> bytes:
+    """Preamble + DICM + a minimal file-meta group (always explicit LE)."""
+    uid = ts_uid.encode()
+    if len(uid) % 2:
+        uid += b"\x00"
+    meta = struct.pack("<HH2sH", 0x0002, 0x0010, b"UI", len(uid)) + uid
+    return b"\x00" * 128 + b"DICM" + meta
+
+
+def _split_meta(buf: bytes) -> int:
+    """Offset of the first non-group-0002 element in a Part-10 file."""
+    pos = 132
+    while True:
+        group, _, vr, = struct.unpack_from("<HH2s", buf, pos)
+        if group != 0x0002:
+            return pos
+        if vr in (b"OB", b"OW", b"SQ", b"UN", b"UT"):
+            length = struct.unpack_from("<I", buf, pos + 8)[0]
+            pos += 12 + length
+        else:
+            length = struct.unpack_from("<H", buf, pos + 6)[0]
+            pos += 8 + length
+
+
+def test_deflated_explicit_vr_le(tmp_path):
+    """PS3.5 A.5: body after the meta group is one raw-deflate stream."""
+    import zlib
+
+    from ventjax.io.synthetic import write_multiframe
+
+    vol = np.random.default_rng(7).normal(
+        500, 100, (16, 16, 4)).astype(np.float64)
+    plain = tmp_path / "plain.dcm"
+    write_multiframe(str(plain), vol, (1.5, 1.5, 10.0))
+    buf = plain.read_bytes()
+    body = buf[_split_meta(buf):]
+
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw deflate, no header
+    deflated = tmp_path / "deflated.dcm"
+    deflated.write_bytes(
+        _meta_group(dcm.DEFLATED_EXPLICIT_VR_LE)
+        + co.compress(body) + co.flush())
+
+    ref = dcm.read_file(str(plain))
+    ds = dcm.read_file(str(deflated))
+    assert str(ds.PatientName) == str(ref.PatientName)
+    assert float(ds.SpacingBetweenSlices) == 10.0
+    np.testing.assert_array_equal(ds.pixel_array, ref.pixel_array)
+
+
+def _be_element(tag, vr: str, payload: bytes) -> bytes:
+    out = struct.pack(">HH", tag[0], tag[1]) + vr.encode()
+    if vr in ("OB", "OW", "OF", "SQ", "UN", "UT"):
+        return out + b"\x00\x00" + struct.pack(">I", len(payload)) + payload
+    return out + struct.pack(">H", len(payload)) + payload
+
+
+def test_explicit_vr_big_endian(tmp_path):
+    """Retired Explicit VR Big Endian: every binary field byte-swapped."""
+    rng = np.random.default_rng(11)
+    pix = rng.integers(0, 4000, (16, 12), dtype=np.uint16)
+    body = b"".join([
+        _be_element((0x0010, 0x0010), "PN", b"BIG^ENDIAN"),
+        _be_element((0x0028, 0x0010), "US", struct.pack(">H", 16)),
+        _be_element((0x0028, 0x0011), "US", struct.pack(">H", 12)),
+        _be_element((0x0028, 0x0030), "DS", b"1.5\\1.5 "),
+        _be_element((0x0028, 0x0100), "US", struct.pack(">H", 16)),
+        _be_element((0x0028, 0x0103), "US", struct.pack(">H", 0)),
+        _be_element((0x7FE0, 0x0010), "OW",
+                    pix.astype(">u2").tobytes()),
+    ])
+    path = tmp_path / "be.dcm"
+    path.write_bytes(_meta_group(dcm.EXPLICIT_VR_BE) + body)
+
+    ds = dcm.read_file(str(path))
+    assert int(ds.Rows) == 16 and int(ds.Columns) == 12
+    assert list(ds.PixelSpacing) == [1.5, 1.5]
+    arr = ds.pixel_array
+    assert arr.dtype == np.uint16 and arr.dtype.byteorder in ("=", "|", "<")
+    np.testing.assert_array_equal(arr, pix)
+
+    # re-save transcodes to native Explicit LE (no stale TransferSyntaxUID)
+    out = tmp_path / "resaved.dcm"
+    ds.save_as(str(out))
+    ds2 = dcm.read_file(str(out))
+    assert ds2.get("TransferSyntaxUID") == dcm.EXPLICIT_VR_LE
+    np.testing.assert_array_equal(ds2.pixel_array, pix)

@@ -12,8 +12,11 @@ subset of DICOM needed for full parity with the reference's I/O paths:
   (Vent_Analysis.py:381-428: exportDICOM),
 - full-header JSON dumps (Vent_Analysis.py:360-379: dicom_to_dict/json).
 
-Supported transfer syntaxes: Explicit VR Little Endian and Implicit VR
-Little Endian, uncompressed pixel data.  The API deliberately mirrors the
+Supported transfer syntaxes (the set pydicom 2.3.0 decodes with no extra
+codec packages, i.e. everything the reference app can ingest): Explicit VR
+Little Endian, Implicit VR Little Endian, Deflated Explicit VR LE,
+Explicit VR Big Endian (retired, archives only), and RLE Lossless
+encapsulated pixel data.  The API deliberately mirrors the
 pydicom surface the reference uses (Dataset attribute access by keyword,
 ``pixel_array``, ``save_as``, ``generate_uid``) so the compat facade keeps
 working user code unchanged.
@@ -81,6 +84,8 @@ _TAG_VR = {tag: vr for tag, (vr, _) in _DICT.items()}
 
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
+DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
+EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired, still seen in archives
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 
 
@@ -319,9 +324,11 @@ class Dataset:
             else:
                 shape = (nframes, rows, cols) if nframes > 1 else (rows, cols)
             return a.reshape(shape)
-        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder("<"))
+        bo = (">" if self.get("TransferSyntaxUID") == EXPLICIT_VR_BE
+              else "<")
+        arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(bo))
         count = rows * cols * samples * nframes
-        arr = arr[:count]
+        arr = arr[:count].astype(dtype)  # native byte order downstream
         if samples > 1:
             shape = (nframes, rows, cols, samples) if nframes > 1 else (rows, cols, samples)
         else:
@@ -347,18 +354,19 @@ class Dataset:
 # ---------------------------------------------------------------------------
 
 class _Reader:
-    def __init__(self, buf: bytes, explicit: bool):
+    def __init__(self, buf: bytes, explicit: bool, big: bool = False):
         self.buf = buf
         self.pos = 0
         self.explicit = explicit
+        self.bo = ">" if big else "<"
 
     def u16(self):
-        v = struct.unpack_from("<H", self.buf, self.pos)[0]
+        v = struct.unpack_from(self.bo + "H", self.buf, self.pos)[0]
         self.pos += 2
         return v
 
     def u32(self):
-        v = struct.unpack_from("<I", self.buf, self.pos)[0]
+        v = struct.unpack_from(self.bo + "I", self.buf, self.pos)[0]
         self.pos += 4
         return v
 
@@ -395,7 +403,7 @@ class _Reader:
         return tag, vr, length
 
 
-def _parse_value(vr: str, raw: bytes):
+def _parse_value(vr: str, raw: bytes, bo: str = "<"):
     if vr in _STR_VRS:
         s = raw.decode("latin-1").rstrip("\x00 ")
         if vr in ("DS", "IS") and "\\" in s:
@@ -407,17 +415,17 @@ def _parse_value(vr: str, raw: bytes):
             return MultiValue(s.split("\\"))
         return s
     if vr == "US":
-        vals = struct.unpack(f"<{len(raw)//2}H", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//2}H", raw)
     elif vr == "SS":
-        vals = struct.unpack(f"<{len(raw)//2}h", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//2}h", raw)
     elif vr == "UL":
-        vals = struct.unpack(f"<{len(raw)//4}I", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//4}I", raw)
     elif vr == "SL":
-        vals = struct.unpack(f"<{len(raw)//4}i", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//4}i", raw)
     elif vr == "FL":
-        vals = struct.unpack(f"<{len(raw)//4}f", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//4}f", raw)
     elif vr == "FD":
-        vals = struct.unpack(f"<{len(raw)//8}d", raw)
+        vals = struct.unpack(f"{bo}{len(raw)//8}d", raw)
     else:
         return raw
     if len(vals) == 1:
@@ -496,7 +504,8 @@ def _read_dataset(r: _Reader, stop_at: Optional[int] = None) -> Dataset:
         if tag == (0x7FE0, 0x0010):
             ds.add(tag, vr if vr != "UN" else "OW", bytes(raw))
         else:
-            ds.add(tag, vr if vr != "NONE" else "UN", _parse_value(vr, raw))
+            ds.add(tag, vr if vr != "NONE" else "UN",
+                   _parse_value(vr, raw, r.bo))
     return ds
 
 
@@ -517,11 +526,21 @@ def read_file(path: str) -> Dataset:
                 break
             meta.add(tag, vr, _parse_value(vr, r.raw(length)))
         ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
-        if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE, RLE_LOSSLESS):
+        if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE, RLE_LOSSLESS,
+                      DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE):
             raise ValueError(f"unsupported transfer syntax {ts}")
-        # RLE Lossless datasets are Explicit VR LE with encapsulated pixels.
-        body = _Reader(buf, explicit=(ts != IMPLICIT_VR_LE))
-        body.pos = r.pos
+        if ts == DEFLATED_EXPLICIT_VR_LE:
+            # PS3.5 A.5: everything after the file meta group is one raw
+            # deflate stream (no zlib header) of an Explicit VR LE dataset.
+            import zlib
+
+            body = _Reader(zlib.decompress(buf[r.pos:], -15), explicit=True)
+        else:
+            # RLE Lossless datasets are Explicit VR LE with encapsulated
+            # pixels; Explicit VR Big Endian flips every binary field.
+            body = _Reader(buf, explicit=(ts != IMPLICIT_VR_LE),
+                           big=(ts == EXPLICIT_VR_BE))
+            body.pos = r.pos
         ds = _read_dataset(body)
         for e in meta:
             ds.add(e.tag, e.vr, e.value)
@@ -612,7 +631,12 @@ def write_file(path: str, ds: Dataset) -> None:
     since this writer only emits native Explicit VR LE, such pixels are
     transcoded (decoded) on write and the stale TransferSyntaxUID dropped.
     """
-    if isinstance(ds.get("PixelData"), EncapsulatedPixelData):
+    needs_transcode = (
+        isinstance(ds.get("PixelData"), EncapsulatedPixelData)
+        or (ds.get("TransferSyntaxUID") == EXPLICIT_VR_BE
+            and ds.get("PixelData") is not None)
+    )
+    if needs_transcode:
         ds = ds.copy()
         arr = ds.pixel_array
         native = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
