@@ -2,10 +2,13 @@
 //
 // Host-side ingest is the reference pipeline's I/O hot spot (SURVEY.md §3.1:
 // the per-slice dcmread loop in openDICOMfolder).  This library parses DICOM
-// Part-10 files (Explicit/Implicit VR Little Endian, uncompressed pixel
-// data) with zero Python overhead; ventjax.io.native binds it via ctypes and
-// the cohort loader fans file decodes out across threads (the function
-// releases the GIL for the whole parse).
+// Part-10 files (Explicit/Implicit VR Little Endian, Deflated Explicit VR
+// LE, and RLE Lossless encapsulated pixel data) with zero Python overhead;
+// ventjax.io.native binds it via ctypes and the cohort loader fans file
+// decodes out across threads (the function releases the GIL for the whole
+// parse).  Semantics mirror the Python codec (ventjax/io/dicom.py) exactly:
+// PS3.5 G.3.1 PackBits segments, MSB-first byte planes per sample, one
+// fragment per frame; deflated bodies are raw-deflate (PS3.5 A.5).
 //
 // API (stable, C ABI):
 //   vj_dicom_decode(path, meta[8], spacing[3], &pixels, &nbytes) -> 0 on ok
@@ -24,7 +27,10 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <utility>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -61,6 +67,10 @@ struct Parsed {
   bool has_spacing = false, has_slice_sp = false;
   const uint8_t* pixels = nullptr;
   size_t pixel_len = 0;
+  // Encapsulated PixelData: one compressed fragment per frame (PS3.5 A.4).
+  std::vector<std::pair<const uint8_t*, size_t>> fragments;
+  std::vector<uint8_t> decoded;   // RLE output; pixels points here
+  std::vector<uint8_t> inflated;  // deflated-body storage (owns the walk)
 };
 
 bool is_short_vr(const char vr[2]) {
@@ -109,6 +119,29 @@ bool walk(Cursor& c, size_t end, bool explicit_vr, Parsed& out, int depth) {
       len = c.u32();
     }
     if (!c.ok) return false;
+
+    uint32_t tag0 = (uint32_t(group) << 16) | elem;
+    if (tag0 == 0x7FE00010 && len == 0xFFFFFFFF) {
+      // Encapsulated PixelData: Basic Offset Table item then one fragment
+      // item per frame, closed by a sequence delimiter.
+      bool first = true;
+      while (c.ok) {
+        uint16_t g2 = c.u16();
+        uint16_t e2 = c.u16();
+        uint32_t l2 = c.u32();
+        if (!c.ok) return false;
+        if (g2 == 0xFFFE && e2 == 0xE0DD) break;
+        if (g2 != 0xFFFE || e2 != 0xE000 || l2 == 0xFFFFFFFF) return false;
+        if (c.pos + l2 > c.len) return false;
+        if (first) {
+          first = false;  // offset table, unused
+        } else {
+          out.fragments.emplace_back(c.buf + c.pos, size_t(l2));
+        }
+        c.pos += l2;
+      }
+      continue;
+    }
 
     bool is_sq = explicit_vr ? (vr[0] == 'S' && vr[1] == 'Q')
                              : (len == 0xFFFFFFFF);
@@ -160,9 +193,104 @@ bool walk(Cursor& c, size_t end, bool explicit_vr, Parsed& out, int depth) {
   return true;
 }
 
+// PS3.5 G.3.1 PackBits segment decode — Python parity (_rle_decode_segment):
+// 0..127 copy n+1 literals, 129..255 repeat next byte 257-n times, 128 pad.
+bool packbits(const uint8_t* d, size_t n, uint8_t* dst, size_t expected) {
+  size_t i = 0, o = 0;
+  while (i < n && o < expected) {
+    uint8_t h = d[i++];
+    if (h < 128) {
+      size_t cnt = size_t(h) + 1;
+      if (i + cnt > n) return false;  // literal run past end
+      if (cnt > expected - o) cnt = expected - o;
+      std::memcpy(dst + o, d + i, cnt);
+      i += size_t(h) + 1;
+      o += cnt;
+    } else if (h > 128) {
+      if (i >= n) return false;  // replicate run past end
+      size_t cnt = 257 - size_t(h);
+      if (cnt > expected - o) cnt = expected - o;
+      std::memset(dst + o, d[i], cnt);
+      i += 1;
+      o += cnt;
+    }
+    // h == 128: no-op padding
+  }
+  return o == expected;
+}
+
+// Decode all RLE fragments into p.decoded as native little-endian,
+// sample-interleaved pixels — Python parity (_rle_decode_frame: byte
+// planes MSB-first within each sample, one fragment per frame).
+bool decode_rle(Parsed& p) {
+  int64_t bpp = p.bits / 8;
+  if (bpp < 1 || bpp > 4 || p.rows <= 0 || p.cols <= 0 || p.samples <= 0)
+    return false;
+  if (int64_t(p.fragments.size()) != p.frames) return false;
+  size_t npix = size_t(p.rows) * size_t(p.cols);
+  size_t nseg = size_t(p.samples) * size_t(bpp);
+  if (nseg > 15) return false;
+  size_t frame_bytes = npix * nseg;
+  p.decoded.resize(size_t(p.frames) * frame_bytes);
+  std::vector<uint8_t> planes(nseg * npix);
+  for (size_t fi = 0; fi < p.fragments.size(); ++fi) {
+    const uint8_t* frag = p.fragments[fi].first;
+    size_t flen = p.fragments[fi].second;
+    if (flen < 64) return false;
+    uint32_t hdr[16];
+    std::memcpy(hdr, frag, 64);
+    if (hdr[0] != nseg) return false;
+    for (size_t k = 0; k < nseg; ++k) {
+      uint32_t off = hdr[1 + k];
+      if (off < 64 || off > flen) return false;
+      if (k + 1 < nseg && hdr[2 + k] < off) return false;
+      size_t end = (k + 1 < nseg) ? hdr[2 + k] : flen;
+      if (end > flen) return false;
+      if (!packbits(frag + off, end - off, planes.data() + k * npix, npix))
+        return false;
+    }
+    uint8_t* dst = p.decoded.data() + fi * frame_bytes;
+    for (size_t px = 0; px < npix; ++px)
+      for (int64_t s = 0; s < p.samples; ++s)
+        for (int64_t b = 0; b < bpp; ++b)  // b: byte plane, MSB first
+          dst[(px * size_t(p.samples) + size_t(s)) * size_t(bpp) +
+              size_t(bpp - 1 - b)] = planes[(size_t(s) * bpp + b) * npix + px];
+  }
+  p.pixels = p.decoded.data();
+  p.pixel_len = p.decoded.size();
+  return true;
+}
+
+// Raw-deflate (no zlib header) inflate of the post-meta body (PS3.5 A.5).
+bool inflate_raw(const uint8_t* src, size_t n, std::vector<uint8_t>& dst) {
+  z_stream zs;
+  std::memset(&zs, 0, sizeof zs);
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = uInt(n);
+  dst.clear();
+  std::vector<uint8_t> chunk(1 << 16);
+  int ret = Z_OK;
+  while (ret != Z_STREAM_END) {
+    zs.next_out = chunk.data();
+    zs.avail_out = uInt(chunk.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) {
+      inflateEnd(&zs);
+      return false;
+    }
+    dst.insert(dst.end(), chunk.data(),
+               chunk.data() + (chunk.size() - zs.avail_out));
+    if (ret == Z_OK && zs.avail_in == 0 && zs.avail_out != 0) break;
+  }
+  inflateEnd(&zs);
+  return ret == Z_STREAM_END;
+}
+
 bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
   size_t body_start = 0;
   bool explicit_vr = true;
+  bool rle = false;
   if (n > 132 && std::memcmp(buf + 128, "DICM", 4) == 0) {
     // file meta group (always explicit); find transfer syntax (0002,0010)
     Cursor m{buf, n, 132};
@@ -183,18 +311,31 @@ bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
     }
     body_start = m.pos;
     while (!ts.empty() && (ts.back() == '\0' || ts.back() == ' ')) ts.pop_back();
-    if (ts == "1.2.840.10008.1.2") explicit_vr = false;
-    else if (!ts.empty() && ts != "1.2.840.10008.1.2.1") return false;
+    if (ts == "1.2.840.10008.1.2") {
+      explicit_vr = false;
+    } else if (ts == "1.2.840.10008.1.2.5") {
+      rle = true;  // RLE Lossless: Explicit VR LE + encapsulated pixels
+    } else if (ts == "1.2.840.10008.1.2.1.99") {
+      if (!inflate_raw(buf + body_start, n - body_start, out.inflated))
+        return false;
+      Cursor c{out.inflated.data(), out.inflated.size(), 0};
+      return walk(c, out.inflated.size(), true, out, 0) && out.rows > 0 &&
+             out.pixels;
+    } else if (!ts.empty() && ts != "1.2.840.10008.1.2.1") {
+      return false;
+    }
   }
   Cursor c{buf, n, body_start};
-  return walk(c, n, explicit_vr, out, 0) && out.rows > 0 && out.pixels;
+  if (!walk(c, n, explicit_vr, out, 0) || out.rows <= 0) return false;
+  if (rle) return decode_rle(out);
+  return out.pixels != nullptr;
 }
 
 }  // namespace
 
 extern "C" {
 
-int vj_version() { return 1; }
+int vj_version() { return 2; }
 
 void vj_free(uint8_t* p) { std::free(p); }
 

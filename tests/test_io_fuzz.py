@@ -267,3 +267,51 @@ def test_explicit_vr_big_endian(tmp_path):
     ds2 = dcm.read_file(str(out))
     assert ds2.get("TransferSyntaxUID") == dcm.EXPLICIT_VR_LE
     np.testing.assert_array_equal(ds2.pixel_array, pix)
+
+
+def test_deflated_native_scanner_parity(tmp_path):
+    """The native scanner inflates Deflated Explicit VR LE bodies
+    (dicomscan.cpp inflate_raw) and must match the Python codec; the
+    retired Explicit VR Big Endian syntax stays a Python-only path
+    (native returns None -> fallback)."""
+    import zlib
+
+    from ventjax.io import native
+    from ventjax.io.synthetic import write_multiframe
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+
+    vol = np.random.default_rng(3).normal(
+        500, 100, (16, 16, 4)).astype(np.float64)
+    plain = tmp_path / "plain.dcm"
+    write_multiframe(str(plain), vol, (1.5, 1.5, 10.0))
+    buf = plain.read_bytes()
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    deflated = tmp_path / "deflated.dcm"
+    deflated.write_bytes(_meta_group(dcm.DEFLATED_EXPLICIT_VR_LE)
+                         + co.compress(buf[_split_meta(buf):]) + co.flush())
+
+    got = native.decode_pixels(str(deflated))
+    assert got is not None
+    np.testing.assert_array_equal(got[0], dcm.read_file(str(deflated)).pixel_array)
+    assert got[1][:2] == (1.5, 1.5)
+
+    # truncated deflate stream: clean rejection, not a crash
+    blob = deflated.read_bytes()
+    cut = tmp_path / "cut.dcm"
+    cut.write_bytes(blob[:len(blob) - 40])
+    assert native.decode_pixels(str(cut)) is None
+
+    pix = np.random.default_rng(5).integers(0, 4000, (16, 12), dtype=np.uint16)
+    body = b"".join([
+        _be_element((0x0028, 0x0010), "US", struct.pack(">H", 16)),
+        _be_element((0x0028, 0x0011), "US", struct.pack(">H", 12)),
+        _be_element((0x0028, 0x0100), "US", struct.pack(">H", 16)),
+        _be_element((0x0028, 0x0103), "US", struct.pack(">H", 0)),
+        _be_element((0x7FE0, 0x0010), "OW", pix.astype(">u2").tobytes()),
+    ])
+    be = tmp_path / "be.dcm"
+    be.write_bytes(_meta_group(dcm.EXPLICIT_VR_BE) + body)
+    assert native.decode_pixels(str(be)) is None
+    np.testing.assert_array_equal(dcm.read_file(str(be)).pixel_array, pix)

@@ -179,8 +179,8 @@ def test_rle_study_flows_through_ingest_and_resave(tmp_path, rng):
 
 def test_rle_mask_folder_ingest(tmp_path, rng):
     """Folder-of-slices ingest (reference Vent_Analysis.py:184-196) where
-    every slice file is RLE-compressed; the native C++ scanner rejects the
-    syntax (native/dicomscan.cpp parse_file) and the Python codec decodes."""
+    every slice file is RLE-compressed; both the Python codec and the
+    native C++ scanner (dicomscan.cpp decode_rle) decode it."""
     mask = (rng.random((24, 20, 5)) > 0.5).astype(np.uint16)
     folder = tmp_path / "mask"
     folder.mkdir()
@@ -191,7 +191,54 @@ def test_rle_mask_folder_ingest(tmp_path, rng):
 
     from ventjax.io import native
     if native.available():
-        assert native.decode_pixels(str(folder / "slice000.dcm")) is None
+        got = native.decode_pixels(str(folder / "slice000.dcm"))
+        assert got is not None
+        assert np.array_equal(got[0], mask[:, :, 0])
+
+
+@pytest.mark.parametrize("bits,signed,samples", [
+    (16, False, 1), (16, True, 1), (8, False, 1), (8, False, 3)])
+def test_rle_native_scanner_matches_python(tmp_path, rng, bits, signed,
+                                           samples):
+    """The native scanner's RLE path (dicomscan.cpp packbits/decode_rle)
+    must agree byte-for-byte with the Python codec on multi-frame files."""
+    from ventjax.io import native
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+    lo, hi = (-(2 ** (bits - 1)), 2 ** (bits - 1)) if signed else (0, 2 ** bits)
+    shape = (4, 24, 16) if samples == 1 else (4, 24, 16, 3)
+    frames = rng.integers(lo, hi, shape).astype(
+        {8: np.int8 if signed else np.uint8,
+         16: np.int16 if signed else np.uint16}[bits])
+    frames[:, :6] = lo  # long runs
+    p = str(tmp_path / "par.dcm")
+    write_rle_file(p, frames, bits=bits, signed=signed, samples=samples)
+    got = native.decode_pixels(p)
+    assert got is not None
+    assert np.array_equal(got[0], dcm.read_file(p).pixel_array)
+
+
+def test_rle_native_scanner_rejects_corrupt_fragments(tmp_path, rng):
+    """Every fuzz mangle that the Python codec rejects must make the native
+    scanner return None (rc != 0), never crash or mis-decode."""
+    from ventjax.io import native
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+    frames = rng.integers(0, 65536, (3, 16, 16)).astype(np.uint16)
+    mangles = {
+        "segcount": lambda fr: [struct.pack("<I", 7) + fr[0][4:]] + fr[1:],
+        "offsets": lambda fr: [fr[0][:4] + struct.pack("<II", 64, 10 ** 6)
+                               + fr[0][12:]] + fr[1:],
+        "monotonic": lambda fr: [fr[0][:4] + struct.pack("<II", 70, 64)
+                                 + fr[0][12:]] + fr[1:],
+        "truncated": lambda fr: [fr[0][:len(fr[0]) // 2]] + fr[1:],
+        "tinyfrag": lambda fr: [fr[0][:32]] + fr[1:],
+        "fragcount": lambda fr: fr[:-1],
+    }
+    for name, mangle in mangles.items():
+        p = str(tmp_path / f"{name}.dcm")
+        write_rle_file(p, frames, mangle=mangle)
+        assert native.decode_pixels(p) is None, name
 
 
 # ---------------------------------------------------------------------------

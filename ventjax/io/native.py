@@ -20,6 +20,9 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libdicomscan.so")
 
 _lib = None
 _tried = False
+# Minimum library version this binding expects (vj_version); a stale .so
+# from an older checkout triggers a rebuild.
+_EXPECTED_VERSION = 2
 
 
 def build(force: bool = False) -> bool:
@@ -27,11 +30,27 @@ def build(force: bool = False) -> bool:
     if os.path.exists(_LIB_PATH) and not force:
         return True
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR, "-s"],
-                       check=True, capture_output=True, timeout=120)
+        cmd = ["make", "-C", _NATIVE_DIR, "-s"]
+        if force:
+            cmd.append("-B")
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
+
+
+def _bind(lib):
+    lib.vj_dicom_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.vj_dicom_decode.restype = ctypes.c_int
+    lib.vj_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.vj_version.restype = ctypes.c_int
+    return lib
 
 
 def _load():
@@ -42,17 +61,19 @@ def _load():
     if not os.path.exists(_LIB_PATH) and not build():
         return None
     try:
-        lib = ctypes.CDLL(_LIB_PATH)
-        lib.vj_dicom_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.vj_dicom_decode.restype = ctypes.c_int
-        lib.vj_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
-        lib.vj_version.restype = ctypes.c_int
+        lib = _bind(ctypes.CDLL(_LIB_PATH))
+        if lib.vj_version() < _EXPECTED_VERSION:
+            # A .so built from an older source tree; rebuild and retry.
+            # dlopen may return the stale cached mapping if the linker
+            # reused the inode, so re-check the version and fall back to
+            # the Python codec rather than call mismatched symbols.
+            if not build(force=True):
+                _lib = None
+                return None
+            lib = _bind(ctypes.CDLL(_LIB_PATH))
+            if lib.vj_version() < _EXPECTED_VERSION:
+                _lib = None
+                return None
         _lib = lib
     except OSError:
         _lib = None
