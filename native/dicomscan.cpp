@@ -3,7 +3,9 @@
 // Host-side ingest is the reference pipeline's I/O hot spot (SURVEY.md §3.1:
 // the per-slice dcmread loop in openDICOMfolder).  This library parses DICOM
 // Part-10 files (Explicit/Implicit VR Little Endian, Deflated Explicit VR
-// LE, and RLE Lossless encapsulated pixel data) with zero Python overhead;
+// LE, retired Explicit VR Big Endian, and RLE Lossless encapsulated pixel
+// data — every transfer syntax the Python codec ventjax/io/dicom.py
+// handles) with zero Python overhead;
 // ventjax.io.native binds it via ctypes and the cohort loader fans file
 // decodes out across threads (the function releases the GIL for the whole
 // parse).  Semantics mirror the Python codec (ventjax/io/dicom.py) exactly:
@@ -39,20 +41,21 @@ struct Cursor {
   size_t len;
   size_t pos = 0;
   bool ok = true;
+  bool be = false;  // Explicit VR Big Endian body (tags/lengths/US swapped)
 
   uint16_t u16() {
     if (pos + 2 > len) { ok = false; return 0; }
     uint16_t v;
     std::memcpy(&v, buf + pos, 2);
     pos += 2;
-    return v;
+    return be ? __builtin_bswap16(v) : v;
   }
   uint32_t u32() {
     if (pos + 4 > len) { ok = false; return 0; }
     uint32_t v;
     std::memcpy(&v, buf + pos, 4);
     pos += 4;
-    return v;
+    return be ? __builtin_bswap32(v) : v;
   }
   bool skip(size_t n) {
     if (pos + n > len) { ok = false; return false; }
@@ -84,6 +87,12 @@ bool is_short_vr(const char vr[2]) {
 double parse_ds(const uint8_t* p, size_t n) {
   std::string s(reinterpret_cast<const char*>(p), n);
   return atof(s.c_str());
+}
+
+uint16_t rd_us(const uint8_t* p, bool be) {
+  uint16_t v;
+  std::memcpy(&v, p, 2);
+  return be ? __builtin_bswap16(v) : v;
 }
 
 // Walk one dataset level.  `end` bounds the walk; sequences with undefined
@@ -153,12 +162,14 @@ bool walk(Cursor& c, size_t end, bool explicit_vr, Parsed& out, int depth) {
 
     uint32_t tag = (uint32_t(group) << 16) | elem;
     const uint8_t* val = c.buf + c.pos;
+    if (c.pos + len > c.len) return false;  // value bytes must be in-buffer
+    bool us_ok = len >= 2;                  // US reads need 2 value bytes
     switch (tag) {
-      case 0x00280010: out.rows = *reinterpret_cast<const uint16_t*>(val); break;
-      case 0x00280011: out.cols = *reinterpret_cast<const uint16_t*>(val); break;
-      case 0x00280002: out.samples = *reinterpret_cast<const uint16_t*>(val); break;
-      case 0x00280100: out.bits = *reinterpret_cast<const uint16_t*>(val); break;
-      case 0x00280103: out.pixrep = *reinterpret_cast<const uint16_t*>(val); break;
+      case 0x00280010: if (us_ok) out.rows = rd_us(val, c.be); break;
+      case 0x00280011: if (us_ok) out.cols = rd_us(val, c.be); break;
+      case 0x00280002: if (us_ok) out.samples = rd_us(val, c.be); break;
+      case 0x00280100: if (us_ok) out.bits = rd_us(val, c.be); break;
+      case 0x00280103: if (us_ok) out.pixrep = rd_us(val, c.be); break;
       case 0x00280008: {  // NumberOfFrames, IS string
         std::string s(reinterpret_cast<const char*>(val), len);
         out.frames = atoll(s.c_str());
@@ -287,10 +298,27 @@ bool inflate_raw(const uint8_t* src, size_t n, std::vector<uint8_t>& dst) {
   return ret == Z_STREAM_END;
 }
 
+// Byte-swap big-endian pixel words into native little-endian storage
+// (Python parity: dicom.py pixel_array views BE files with a ">" dtype and
+// the binding re-orders to native; here the output contract is always LE).
+bool swap_pixels_be(Parsed& p) {
+  size_t word = size_t(p.bits) / 8;
+  if (word == 0 || p.pixel_len % word != 0) return false;
+  if (word == 1) return true;  // 8-bit: nothing to swap
+  p.decoded.resize(p.pixel_len);
+  const uint8_t* src = p.pixels;
+  for (size_t i = 0; i < p.pixel_len; i += word)
+    for (size_t b = 0; b < word; ++b)
+      p.decoded[i + b] = src[i + word - 1 - b];
+  p.pixels = p.decoded.data();
+  return true;
+}
+
 bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
   size_t body_start = 0;
   bool explicit_vr = true;
   bool rle = false;
+  bool big_endian = false;
   if (n > 132 && std::memcmp(buf + 128, "DICM", 4) == 0) {
     // file meta group (always explicit); find transfer syntax (0002,0010)
     Cursor m{buf, n, 132};
@@ -315,6 +343,8 @@ bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
       explicit_vr = false;
     } else if (ts == "1.2.840.10008.1.2.5") {
       rle = true;  // RLE Lossless: Explicit VR LE + encapsulated pixels
+    } else if (ts == "1.2.840.10008.1.2.2") {
+      big_endian = true;  // retired Explicit VR Big Endian
     } else if (ts == "1.2.840.10008.1.2.1.99") {
       if (!inflate_raw(buf + body_start, n - body_start, out.inflated))
         return false;
@@ -326,16 +356,19 @@ bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
     }
   }
   Cursor c{buf, n, body_start};
+  c.be = big_endian;
   if (!walk(c, n, explicit_vr, out, 0) || out.rows <= 0) return false;
   if (rle) return decode_rle(out);
-  return out.pixels != nullptr;
+  if (!out.pixels) return false;
+  if (big_endian) return swap_pixels_be(out);
+  return true;
 }
 
 }  // namespace
 
 extern "C" {
 
-int vj_version() { return 2; }
+int vj_version() { return 3; }
 
 void vj_free(uint8_t* p) { std::free(p); }
 

@@ -271,9 +271,8 @@ def test_explicit_vr_big_endian(tmp_path):
 
 def test_deflated_native_scanner_parity(tmp_path):
     """The native scanner inflates Deflated Explicit VR LE bodies
-    (dicomscan.cpp inflate_raw) and must match the Python codec; the
-    retired Explicit VR Big Endian syntax stays a Python-only path
-    (native returns None -> fallback)."""
+    (dicomscan.cpp inflate_raw) and byte-swaps retired Explicit VR Big
+    Endian files (swap_pixels_be); both must match the Python codec."""
     import zlib
 
     from ventjax.io import native
@@ -313,5 +312,86 @@ def test_deflated_native_scanner_parity(tmp_path):
     ])
     be = tmp_path / "be.dcm"
     be.write_bytes(_meta_group(dcm.EXPLICIT_VR_BE) + body)
-    assert native.decode_pixels(str(be)) is None
+    got_be = native.decode_pixels(str(be))
+    assert got_be is not None
+    np.testing.assert_array_equal(got_be[0], pix)
     np.testing.assert_array_equal(dcm.read_file(str(be)).pixel_array, pix)
+
+
+def test_native_differential_fuzz(tmp_path):
+    """Differential fuzz of the native scanner against the Python codec.
+
+    The native fast path's safety contract (ventjax/io/native.py): it may
+    return None on anything unusual (Python codec takes over), but it must
+    NEVER crash the process and NEVER return pixels that differ from a
+    successful Python decode of the same bytes.  Seeds are fixed so the
+    corpus is reproducible.
+    """
+    import zlib
+
+    from ventjax.io import native
+    from ventjax.io.synthetic import write_multiframe
+    from test_io_rle import write_rle_file
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+
+    rng = np.random.default_rng(2024)
+    vol = rng.normal(500, 100, (12, 12, 3)).astype(np.float64)
+
+    # one valid file per supported transfer syntax
+    plain = tmp_path / "plain.dcm"
+    write_multiframe(str(plain), vol, (1.5, 1.5, 10.0))
+    buf = plain.read_bytes()
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    (tmp_path / "deflated.dcm").write_bytes(
+        _meta_group(dcm.DEFLATED_EXPLICIT_VR_LE)
+        + co.compress(buf[_split_meta(buf):]) + co.flush())
+    write_rle_file(str(tmp_path / "rle.dcm"),
+                   rng.integers(0, 65536, (3, 12, 12)).astype(np.uint16))
+
+    corpus = [plain.read_bytes(),
+              (tmp_path / "deflated.dcm").read_bytes(),
+              (tmp_path / "rle.dcm").read_bytes()]
+
+    def python_decode(path):
+        try:
+            ds = dcm.read_file(path)
+            return np.asarray(ds.pixel_array)
+        except Exception:
+            return None
+
+    n_flip, n_trunc, n_agree = 0, 0, 0
+    mut = tmp_path / "mut.dcm"
+    for blob in corpus:
+        for trial in range(120):
+            b = bytearray(blob)
+            kind = rng.integers(0, 3)
+            if kind == 0:      # random byte flips (1-8)
+                for _ in range(int(rng.integers(1, 9))):
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(256))
+                n_flip += 1
+            elif kind == 1:    # truncation
+                b = b[:int(rng.integers(1, len(b)))]
+                n_trunc += 1
+            else:              # splice a random chunk
+                at = int(rng.integers(0, len(b)))
+                b[at:at] = bytes(rng.integers(0, 256, int(rng.integers(1, 64)),
+                                              dtype=np.uint8))
+            mut.write_bytes(bytes(b))
+            got = native.decode_pixels(str(mut))   # must never raise
+            if got is None:
+                continue
+            py = python_decode(str(mut))
+            if py is None:
+                # native salvaged a file Python refuses: acceptable only if
+                # the mutation left the pixel grid intact vs the original.
+                continue
+            if got[0].shape == py.shape:
+                np.testing.assert_array_equal(got[0], py)
+                n_agree += 1
+    # the corpus must actually exercise both mutation classes and produce
+    # a healthy number of agreeing decodes (byte flips in pixel data still
+    # decode on both sides)
+    assert n_flip > 50 and n_trunc > 50 and n_agree > 20, (
+        n_flip, n_trunc, n_agree)

@@ -22,7 +22,7 @@ _lib = None
 _tried = False
 # Minimum library version this binding expects (vj_version); a stale .so
 # from an older checkout triggers a rebuild.
-_EXPECTED_VERSION = 2
+_EXPECTED_VERSION = 3
 
 
 def build(force: bool = False) -> bool:
@@ -113,6 +113,8 @@ def decode_pixels(path: str) -> Optional[Tuple[np.ndarray, Tuple[float, float, f
         return None
     arr = np.frombuffer(buf, dtype=np.dtype(dt).newbyteorder("<"))
     count = rows * cols * samples * frames
+    if arr.size < count:
+        return None  # header claims more pixels than the file holds
     arr = arr[:count]
     if samples > 1:
         shape = (frames, rows, cols, samples) if frames > 1 else (rows, cols, samples)
