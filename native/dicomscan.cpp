@@ -320,10 +320,15 @@ bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
   bool rle = false;
   bool big_endian = false;
   if (n > 132 && std::memcmp(buf + 128, "DICM", 4) == 0) {
-    // file meta group (always explicit); find transfer syntax (0002,0010)
+    // file meta group (always explicit); find transfer syntax (0002,0010).
+    // (0002,0000) FileMetaInformationGroupLength, when present, bounds the
+    // meta group exactly — essential for Deflated files, where the body is
+    // a raw deflate stream whose first bytes may parse as a 0002 tag.
     Cursor m{buf, n, 132};
     std::string ts;
+    size_t meta_end = 0;  // 0 = unknown
     while (m.pos + 8 <= n && m.ok) {
+      if (meta_end && m.pos >= meta_end) break;
       size_t save = m.pos;
       uint16_t group = m.u16();
       uint16_t elem = m.u16();
@@ -333,10 +338,18 @@ bool parse_file(const uint8_t* buf, size_t n, Parsed& out) {
       uint32_t len;
       if (is_short_vr(vr)) len = m.u16();
       else { m.skip(2); len = m.u32(); }
-      if (group == 0x0002 && elem == 0x0010)
+      if (!m.ok || m.pos + len > n) return false;  // malformed meta group
+      if (elem == 0x0010)
         ts.assign(reinterpret_cast<const char*>(buf + m.pos), len);
+      if (elem == 0x0000 && len == 4 && !meta_end) {
+        uint32_t gl;
+        std::memcpy(&gl, buf + m.pos, 4);
+        size_t end = m.pos + 4 + size_t(gl);
+        if (end >= m.pos + 4 && end <= n) meta_end = end;
+      }
       m.skip(len);
     }
+    if (meta_end && m.pos < meta_end) m.pos = meta_end;
     body_start = m.pos;
     while (!ts.empty() && (ts.back() == '\0' || ts.back() == ' ')) ts.pop_back();
     if (ts == "1.2.840.10008.1.2") {

@@ -236,3 +236,15 @@ def test_cli_gui_subcommand_headless(monkeypatch, capsys):
     rc = main(["gui", "--xenon", "/x.dcm", "--mask", "/m"])
     assert rc == 2
     assert "no display" in capsys.readouterr().err
+
+
+def test_status_observer_sees_in_progress_blue():
+    """The view paints in-progress statuses via controller.on_status; the
+    observer must see the transient blue 'Calculating VDP...' that the
+    final green/red status overwrites (app.py _paint_status wiring)."""
+    seen = []
+    c = VentController()
+    c.on_status = lambda s: seen.append((s.text, s.color))
+    c.calculate_vdp()  # no study loaded -> red failure, after the blue
+    assert seen[0] == ("Calculating VDP...", "blue")
+    assert seen[-1][1] == "red"

@@ -395,3 +395,83 @@ def test_native_differential_fuzz(tmp_path):
     # decode on both sides)
     assert n_flip > 50 and n_trunc > 50 and n_agree > 20, (
         n_flip, n_trunc, n_agree)
+
+
+def _meta_group_with_length(ts_uid: str) -> bytes:
+    """Preamble + DICM + meta group led by the mandatory (0002,0000)
+    FileMetaInformationGroupLength element."""
+    uid = ts_uid.encode()
+    if len(uid) % 2:
+        uid += b"\x00"
+    ts_el = struct.pack("<HH2sH", 0x0002, 0x0010, b"UI", len(uid)) + uid
+    gl_el = struct.pack("<HH2sH", 0x0002, 0x0000, b"UL", 4) + struct.pack(
+        "<I", len(ts_el))
+    return b"\x00" * 128 + b"DICM" + gl_el + ts_el
+
+
+def test_meta_group_length_bounds_deflated_body(tmp_path):
+    """PS3.10: (0002,0000) bounds the meta group.  A raw-deflate body whose
+    first bytes are 02 00 parses as a group-0002 tag, so a reader that
+    finds the meta end by tag-peeking eats compressed bytes and rejects a
+    standards-valid file.  Both codecs must honor the group length.
+
+    The crafted stream opens with an empty non-final fixed-huffman block
+    (bits 0,1,0 + seven-zero-bit end-of-block = bytes 02 00 after an empty
+    stored block header) before a final stored block with the real data."""
+    from ventjax.io import native
+    from ventjax.io.synthetic import write_multiframe
+
+    import zlib
+
+    vol = np.random.default_rng(9).normal(
+        500, 100, (16, 16, 4)).astype(np.float64)
+    plain = tmp_path / "plain.dcm"
+    write_multiframe(str(plain), vol, (1.5, 1.5, 10.0))
+    buf = plain.read_bytes()
+    body = buf[_split_meta(buf):]
+    assert len(body) < 65536, "stored deflate block limit"
+    # non-final fixed-huffman empty block (02 00 prefix by construction),
+    # then an empty non-final stored block, then the final stored block
+    stream = (b"\x02\x00" + b"\x00\x00\xff\xff"
+              + b"\x01" + struct.pack("<HH", len(body), ~len(body) & 0xFFFF)
+              + body)
+    assert zlib.decompress(stream, -15) == body
+    assert stream[:2] == b"\x02\x00"   # the tag-peek trap
+    p = tmp_path / "trap.dcm"
+    p.write_bytes(_meta_group_with_length(dcm.DEFLATED_EXPLICIT_VR_LE)
+                  + stream)
+
+    ds = dcm.read_file(str(p))
+    np.testing.assert_array_equal(
+        np.transpose(ds.pixel_array, (1, 2, 0)),
+        dcm.read_file(str(plain)).pixel_array.transpose(1, 2, 0))
+    if native.available():
+        got = native.decode_pixels(str(p))
+        assert got is not None
+        np.testing.assert_array_equal(got[0], ds.pixel_array)
+
+
+def test_native_meta_scan_truncated_uid_length(tmp_path):
+    """A (0002,0010) element whose declared length runs past the end of the
+    file must make the native scanner return None (rc!=0), never read out
+    of bounds; the Python codec raises cleanly."""
+    from ventjax.io import native
+
+    blob = (b"\x00" * 128 + b"DICM"
+            + struct.pack("<HH2sH", 0x0002, 0x0010, b"UI", 0xFFF0)
+            + b"1.2.8")
+    p = tmp_path / "oob.dcm"
+    p.write_bytes(blob)
+    if native.available():
+        assert native.decode_pixels(str(p)) is None
+    with pytest.raises(Exception):
+        dcm.read_file(str(p))
+
+
+def test_rle_16_segment_header_rejected():
+    """samples=4 x 32 bits = 16 segments passes nseg==samples*bpp but can
+    never fit the 15-offset header; must fail with the documented
+    ValueError, not an IndexError."""
+    frag = struct.pack("<16I", 16, *([64] * 15)) + b"\x00" * 100
+    with pytest.raises(ValueError, match="segments"):
+        dcm._rle_decode_frame(frag, 4, 4, 4, 32)

@@ -171,6 +171,10 @@ class VentApp:
             side="left", fill="x", expand=True)
         self.status_label = tk.Label(root, text="", anchor="w")
         self.status_label.pack(fill="x")
+        # paint in-progress statuses immediately — actions run synchronously
+        # on the Tk main thread, so without this the "blue" texts the
+        # controller sets at action start would never be seen
+        self.c.on_status = self._paint_status
         exp = tk.Frame(root)
         exp.pack(fill="x")
         tk.Label(exp, text="Export Path:").pack(side="left")
@@ -194,6 +198,10 @@ class VentApp:
         s.notes = self.notes_var.get()
         s.export_path = self.export_var.get()
         s.archive = bool(self.archive_var.get())
+
+    def _paint_status(self, status) -> None:
+        self.status_label.config(text=status.text, fg=status.color)
+        self.root.update_idletasks()
 
     def _run(self, action) -> None:
         self._pull_state()

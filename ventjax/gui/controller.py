@@ -100,10 +100,17 @@ class VentController:
         self.study = None
         self.status = Status()
         self.buttons: Dict[str, str] = {b: IDLE for b in _BUTTONS}
+        # Optional observer called on every status change; the tkinter view
+        # uses it to paint in-progress ("blue") statuses before a long
+        # synchronous action returns (the reference repaints its window the
+        # same way between event and computation).
+        self.on_status = None
 
     # ---- helpers -----------------------------------------------------------
     def _set_status(self, text: str, color: str) -> None:
         self.status = Status(text, color)
+        if self.on_status is not None:
+            self.on_status(self.status)
 
     def _fail(self, text: str, exc: Optional[BaseException] = None) -> bool:
         detail = f" [{exc}]" if exc is not None else ""

@@ -151,10 +151,12 @@ def _rle_decode_frame(
     header = struct.unpack_from("<16I", frag, 0)
     nseg = header[0]
     bpp = bits // 8
-    if nseg != samples * bpp:
+    if nseg != samples * bpp or nseg > 15:
+        # the 64-byte header holds at most 15 offsets, so nseg=16 (e.g.
+        # 4 samples x 32 bits) can never be a valid fragment
         raise ValueError(
             f"RLE fragment has {nseg} segments, expected {samples * bpp} "
-            f"({samples} samples x {bpp} bytes)"
+            f"({samples} samples x {bpp} bytes, max 15)"
         )
     offsets = list(header[1:1 + nseg])
     if any(o < 64 or o > len(frag) for o in offsets) or offsets != sorted(offsets):
@@ -328,7 +330,8 @@ class Dataset:
               else "<")
         arr = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(bo))
         count = rows * cols * samples * nframes
-        arr = arr[:count].astype(dtype)  # native byte order downstream
+        # native byte order downstream; copy only when swapping (BE)
+        arr = arr[:count].astype(dtype, copy=False)
         if samples > 1:
             shape = (nframes, rows, cols, samples) if nframes > 1 else (rows, cols, samples)
         else:
@@ -518,13 +521,30 @@ def read_file(path: str) -> Dataset:
         r = _Reader(buf, explicit=True)
         r.pos = 132
         meta = Dataset()
+        # (0002,0000) FileMetaInformationGroupLength, when present, bounds
+        # the meta group exactly — essential for Deflated files, where the
+        # body is a raw deflate stream whose first bytes may happen to
+        # parse as a group-0002 tag (02 00 = a fixed-huffman block header).
+        meta_end = None
         while not r.eof():
+            if meta_end is not None and r.pos >= meta_end:
+                break
             save = r.pos
             tag, vr, length = r.read_element()
             if tag[0] != 0x0002:
                 r.pos = save
                 break
-            meta.add(tag, vr, _parse_value(vr, r.raw(length)))
+            val = _parse_value(vr, r.raw(length))
+            meta.add(tag, vr, val)
+            if tag == (0x0002, 0x0000) and meta_end is None:
+                try:
+                    end = r.pos + int(val)
+                except (TypeError, ValueError):
+                    end = -1
+                if r.pos <= end <= len(buf):
+                    meta_end = end
+        if meta_end is not None and r.pos < meta_end:
+            r.pos = meta_end  # skip meta bytes the loop could not parse
         ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
         if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE, RLE_LOSSLESS,
                       DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE):

@@ -166,9 +166,8 @@ class _GeometryRunner:
         n = len(batch)
         pad = self.bs - n
         zeros = [np.zeros(self.shape, np.float32)] * pad
-        hp = jnp.asarray(np.stack([d[0] for _, d in batch] + zeros))
+        hp_np = np.stack([d[0] for _, d in batch] + zeros)
         mask_np = np.stack([d[1] for _, d in batch] + zeros)
-        mask = jnp.asarray(mask_np)
 
         max_mask = int((mask_np > 0).sum(axis=(1, 2, 3)).max())
         with self._bucket_lock:
@@ -180,9 +179,14 @@ class _GeometryRunner:
         if jax.process_count() > 1 and self.mesh is not None:
             # Multi-host: every process decoded the same subjects (the
             # manifest is broadcast-consistent, see run_cohort); each feeds
-            # its batch-axis slice into a global array.
-            hp = self._to_global(np.asarray(hp))
+            # its batch-axis slice into a global array.  Build straight
+            # from the host arrays — routing through jnp.asarray first
+            # would add a device round-trip on the dispatch thread.
+            hp = self._to_global(hp_np)
             mask = self._to_global(mask_np)
+        else:
+            hp = jnp.asarray(hp_np)
+            mask = jnp.asarray(mask_np)
         res = self._fn(*pads)(hp, mask)
         return res, pads
 
@@ -322,18 +326,23 @@ def run_cohort(
 
     def submit_export(runner, batch, res, pads, is_retry=False):
         nonlocal n_done
+        # Transfer ONLY what the export writes: n4, defect, ci_map,
+        # metrics.  The full VentResult would also ship defect_lb/
+        # defect_km/defect_border — 3 unused volumes, nearly tripling the
+        # payload on a link measured at 39 MB/s (docs/PERF.md streaming
+        # decomposition).
+        pack = {
+            "n4": res.n4,
+            "defect": res.defect,
+            "ci_map": res.ci_map,
+            "metrics": res.metrics,
+        }
         if multihost:
             # Collectives must issue in the same order on every process, so
             # the global->host gather (and the overflow check) stays on the
             # dispatch thread; only process 0 writes files, in workers.
             from jax.experimental import multihost_utils
 
-            pack = {
-                "n4": res.n4,
-                "defect": res.defect,
-                "ci_map": res.ci_map,
-                "metrics": res.metrics,
-            }
             host = jax.tree_util.tree_map(
                 lambda x: np.asarray(
                     multihost_utils.process_allgather(x, tiled=True)),
@@ -360,21 +369,11 @@ def run_cohort(
                                 lambda x: x[lane], host)["metrics"].as_dict(),
                         })
         else:
-            # Transfer ONLY what the export writes: n4, defect, ci_map,
-            # metrics.  The full VentResult would also ship defect_lb/
-            # defect_km/defect_border — 3 unused volumes, nearly tripling
-            # the payload on a link measured at 39 MB/s (docs/PERF.md
-            # streaming decomposition).  NOTE: no dtype-narrowing cast here
-            # — an eager astype dispatched outside the jitted program
-            # wedges the axon tunnel when worker threads are concurrently
-            # reading results (observed live-lock, benchmarks/streaming.py
-            # stack dumps); plain jit-output reads are safe.
-            pack = {
-                "n4": res.n4,
-                "defect": res.defect,
-                "ci_map": res.ci_map,
-                "metrics": res.metrics,
-            }
+            # NOTE: no dtype-narrowing cast on pack here — an eager astype
+            # dispatched outside the jitted program wedges the axon tunnel
+            # when worker threads are concurrently reading results
+            # (observed live-lock, benchmarks/streaming.py stack dumps);
+            # plain jit-output reads are safe.
             export_slots.acquire()
             export_futures.append(
                 export_pool.submit(_export_batch, runner, batch, pack, pads)
