@@ -349,10 +349,21 @@ def test_native_differential_fuzz(tmp_path):
         + co.compress(buf[_split_meta(buf):]) + co.flush())
     write_rle_file(str(tmp_path / "rle.dcm"),
                    rng.integers(0, 65536, (3, 12, 12)).astype(np.uint16))
+    bepix = rng.integers(0, 65536, (12, 12), dtype=np.uint16)
+    be_body = b"".join([
+        _be_element((0x0028, 0x0010), "US", struct.pack(">H", 12)),
+        _be_element((0x0028, 0x0011), "US", struct.pack(">H", 12)),
+        _be_element((0x0028, 0x0100), "US", struct.pack(">H", 16)),
+        _be_element((0x0028, 0x0103), "US", struct.pack(">H", 0)),
+        _be_element((0x7FE0, 0x0010), "OW", bepix.astype(">u2").tobytes()),
+    ])
+    (tmp_path / "be.dcm").write_bytes(
+        _meta_group(dcm.EXPLICIT_VR_BE) + be_body)
 
     corpus = [plain.read_bytes(),
               (tmp_path / "deflated.dcm").read_bytes(),
-              (tmp_path / "rle.dcm").read_bytes()]
+              (tmp_path / "rle.dcm").read_bytes(),
+              (tmp_path / "be.dcm").read_bytes()]
 
     def python_decode(path):
         try:

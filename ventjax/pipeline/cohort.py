@@ -19,6 +19,15 @@ batch runner (SURVEY.md §5 checkpoint/resume, §2.3 pipeline parallelism):
   small thread pool off the device critical path, with done-markers so a
   rerun skips completed subjects;
 - a corrupt subject poisons only its own lane (valid=False in its metrics).
+
+Failure model under multi-host (jax.distributed): fail-stop + resume.  When
+a process dies mid-cohort the JAX coordination service tears the remaining
+processes down (collectives cannot proceed without every rank), and every
+batch exported before the death survives — the .done marker is written
+last, so a marker implies a complete subject export — letting a fresh run
+resume past it without rewriting anything (exactly-once, asserted by
+tests/test_multihost.py failure-injection test).  This mirrors the standard
+TPU-pod posture: no in-job peer recovery, durable checkpoints + restart.
 """
 from __future__ import annotations
 
