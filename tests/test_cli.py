@@ -175,3 +175,24 @@ def test_train_seg_and_auto_mask(tmp_path, capsys):
     # the Disease line reaches the report path (screenshot rendered)
     pngs = [f for f in os.listdir(out) if f.endswith(".png")]
     assert pngs
+
+
+def test_compile_cache_populates_and_disables(tmp_path, monkeypatch):
+    """enable_compile_cache writes compiled programs to the persistent
+    cache dir (repeat CLI invocations skip the minutes-scale TPU compile,
+    docs/PERF.md); VENTJAX_NO_CACHE disables it."""
+    import jax
+    import jax.numpy as jnp
+
+    from ventjax.utils.profiling import enable_compile_cache
+
+    d = str(tmp_path / "xla")
+    monkeypatch.delenv("VENTJAX_NO_CACHE", raising=False)
+    assert enable_compile_cache(d) == d
+    f = jax.jit(lambda x: x @ x.T + 2.0)
+    np.asarray(f(jnp.ones((32, 32))))
+    assert any("cache" in e for e in os.listdir(d))
+
+    monkeypatch.setenv("VENTJAX_NO_CACHE", "1")
+    assert enable_compile_cache(str(tmp_path / "other")) is None
+    assert not os.path.exists(str(tmp_path / "other"))

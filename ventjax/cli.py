@@ -292,6 +292,11 @@ def _cmd_info(args) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="ventjax")
+    p.add_argument(
+        "--no-compile-cache", action="store_true",
+        help="disable the persistent XLA compilation cache "
+        "(~/.cache/ventjax/xla; compile is minutes-scale on TPU, so "
+        "repeat invocations reuse compiled programs by default)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     a = sub.add_parser("analyze", help="analyze one study and export reports")
@@ -391,6 +396,12 @@ def main(argv=None) -> int:
     i.set_defaults(fn=_cmd_info)
 
     args = p.parse_args(argv)
+    if not args.no_compile_cache and args.cmd in ("analyze", "cohort",
+                                                  "twix", "train-seg",
+                                                  "gui"):
+        from ventjax.utils.profiling import enable_compile_cache
+
+        enable_compile_cache()
     return args.fn(args)
 
 

@@ -66,3 +66,40 @@ def enable_deterministic() -> None:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_cpu_enable_fast_math=false"
         ).strip()
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Persistent XLA compilation cache (jax_compilation_cache_dir).
+
+    Compile latency on this platform is minutes-scale for the fused
+    pipeline (docs/PERF.md), and every CLI invocation is a fresh process —
+    without a persistent cache each one pays the full compile.  Measured
+    here (axon, 512x512 jit): 11.7s cold -> 1.2s from cache.
+
+    Default location: $VENTJAX_CACHE_DIR, else ~/.cache/ventjax/xla.
+    Set VENTJAX_NO_CACHE=1 (or pass the CLI --no-compile-cache flag, which
+    simply skips this call) to disable.  Returns the directory in use, or
+    None when disabled.
+    """
+    import os
+
+    if os.environ.get("VENTJAX_NO_CACHE"):
+        return None
+    cache_dir = (cache_dir or os.environ.get("VENTJAX_CACHE_DIR")
+                 or os.path.join(os.path.expanduser("~"), ".cache",
+                                 "ventjax", "xla"))
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    try:
+        # the cache backend initializes lazily ONCE; if something already
+        # compiled in this process, re-point it at the new directory
+        from jax.experimental.compilation_cache import compilation_cache
+
+        compilation_cache.reset_cache()
+    except Exception:
+        pass  # pre-first-compile (the CLI path) needs no reset
+    # cache every program: the pipeline is few large jits, and even small
+    # helper programs cost seconds through the remote compile service
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir
