@@ -152,8 +152,12 @@ def test_export_filename_genxe_and_clinical(ctl):
     ctl.state.clinical_visit = "3"
     ctl.state.clinical_treatment = "Albuterol"
     assert ctl.export_filename() == "Clinical_AB_240301_visit3_Albuterol"
-    ctl.state.clinical_treatment = ""
+    ctl.state.clinical_treatment = "baseline"
     assert ctl.export_filename() == "Clinical_AB_240301_visit3_baseline"
+    # neither radio selected: the reference appends no suffix
+    # (Vent_Analysis.py:982-984)
+    ctl.state.clinical_treatment = ""
+    assert ctl.export_filename() == "Clinical_AB_240301_visit3"
 
 
 def test_import_twix_pane_and_labels(ctl, tmp_path):

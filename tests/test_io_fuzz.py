@@ -486,3 +486,126 @@ def test_rle_16_segment_header_rejected():
     frag = struct.pack("<16I", 16, *([64] * 15)) + b"\x00" * 100
     with pytest.raises(ValueError, match="segments"):
         dcm._rle_decode_frame(frag, 4, 4, 4, 32)
+
+
+def test_twix_service_scans_filtered_like_mapvbvd(tmp_path):
+    """Real scanner files interleave SYNCDATA physio packets and
+    noise-adjust/phasecor scans with the image lines; mapvbvd returns only
+    the image set (the reference consumes exactly that), so read_twix must
+    skip SYNCDATA by DMA length and filter non-image scans whose loop
+    counters collide with image line 0."""
+    import os
+    from ventjax.io.twix import read_twix, write_synthetic_twix
+
+    rng = np.random.default_rng(21)
+    k = (rng.normal(size=(12, 10, 3))
+         + 1j * rng.normal(size=(12, 10, 3))).astype(np.complex64)
+    clean, noisy = str(tmp_path / "c.dat"), str(tmp_path / "n.dat")
+    write_synthetic_twix(clean, k)
+    write_synthetic_twix(noisy, k, service_scans=True)
+    assert os.path.getsize(noisy) > os.path.getsize(clean)
+    np.testing.assert_array_equal(read_twix(noisy).kspace(),
+                                  read_twix(clean).kspace())
+
+
+def test_twix_vb_service_scans_filtered(tmp_path):
+    """The VB reader must skip SYNCDATA physio blocks and filter
+    noise-adjust/phasecor scans the same way the VD/VE reader does."""
+    from ventjax.io.twix import read_twix, write_synthetic_twix_vb
+
+    rng = np.random.default_rng(24)
+    k = (rng.normal(size=(10, 8, 2))
+         + 1j * rng.normal(size=(10, 8, 2))).astype(np.complex64)
+    clean, noisy = str(tmp_path / "c.dat"), str(tmp_path / "n.dat")
+    write_synthetic_twix_vb(clean, k)
+    write_synthetic_twix_vb(noisy, k, service_scans=True)
+    np.testing.assert_array_equal(read_twix(noisy).kspace(),
+                                  read_twix(clean).kspace())
+
+
+def test_twix_vb_malformed_syncdata_rejected(tmp_path):
+    """A VB SYNCDATA MDH whose DMA length overruns the file must raise,
+    not desync the parse into sample bytes."""
+    import struct as _struct
+    from ventjax.io import twix as tw
+
+    rng = np.random.default_rng(25)
+    k = (rng.normal(size=(8, 6, 2))
+         + 1j * rng.normal(size=(8, 6, 2))).astype(np.complex64)
+    p = str(tmp_path / "bad.dat")
+    tw.write_synthetic_twix_vb(p, k, service_scans=True)
+    buf = bytearray(open(p, "rb").read())
+    found = False
+    for off in range(0, len(buf) - tw._MDH_VB_SIZE):
+        (mask,) = _struct.unpack_from("<I", buf, off + 20)
+        if mask == tw.SYNCDATA:
+            (dma,) = _struct.unpack_from("<I", buf, off)
+            if dma == tw._MDH_VB_SIZE + 60:  # the writer's packet
+                _struct.pack_into("<I", buf, off, len(buf) + 1)
+                found = True
+                break
+    assert found, "VB SYNCDATA MDH not located"
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="SYNCDATA"):
+        tw.read_twix(p)
+
+
+def test_twix_malformed_syncdata_rejected(tmp_path):
+    """A SYNCDATA MDH with a zero/overflowing DMA length cannot be skipped
+    safely; the reader must raise, never desync into sample bytes."""
+    import struct as _struct
+    from ventjax.io import twix as tw
+
+    rng = np.random.default_rng(22)
+    k = (rng.normal(size=(8, 6, 2))
+         + 1j * rng.normal(size=(8, 6, 2))).astype(np.complex64)
+    p = str(tmp_path / "bad.dat")
+    tw.write_synthetic_twix(p, k, service_scans=True)
+    buf = bytearray(open(p, "rb").read())
+    # find the SYNCDATA MDH (eval mask u64 at offset 40 in the 192-byte MDH)
+    found = False
+    for off in range(0, len(buf) - tw._MDH_SIZE):  # MDHs are not aligned
+        (mask,) = _struct.unpack_from("<Q", buf, off + 40)
+        if mask == tw.SYNCDATA:
+            (dma,) = _struct.unpack_from("<I", buf, off)
+            if dma == tw._MDH_SIZE + 100:  # the writer's packet
+                _struct.pack_into("<I", buf, off, 0)  # zero the DMA length
+                found = True
+                break
+    assert found, "SYNCDATA MDH not located"
+    open(p, "wb").write(bytes(buf))
+    with pytest.raises(ValueError, match="SYNCDATA"):
+        tw.read_twix(p)
+
+
+def test_twix_64_measurement_multiraid_detected(tmp_path):
+    """mapvbvd's layout heuristic accepts up to 64 raid entries; an
+    exactly-64-measurement file must be parsed as multi-raid (last
+    measurement wins), not misrouted to the VB reader."""
+    import struct as _struct
+    from ventjax.io.twix import read_twix, write_synthetic_twix
+
+    rng = np.random.default_rng(23)
+    k = (rng.normal(size=(8, 6, 2))
+         + 1j * rng.normal(size=(8, 6, 2))).astype(np.complex64)
+    p1 = str(tmp_path / "one.dat")
+    write_synthetic_twix(p1, k)
+    buf = open(p1, "rb").read()
+    meas_id, file_id, meas_off, meas_len = _struct.unpack_from("<IIQQ",
+                                                               buf, 8)
+    body = buf[meas_off:meas_off + meas_len]
+    entry = bytearray(buf[8:160])
+
+    n = 64
+    hdr_size = 8 + n * 152
+    pad = (-hdr_size) % 512
+    new_off = hdr_size + pad
+    _struct.pack_into("<IIQQ", entry, 0, meas_id, file_id, new_off,
+                      meas_len)
+    out = _struct.pack("<II", 0, n)
+    out += bytes(152) * (n - 1) + bytes(entry)
+    out += b"\x00" * pad + body
+    p64 = str(tmp_path / "sixtyfour.dat")
+    open(p64, "wb").write(out)
+    np.testing.assert_array_equal(read_twix(p64).kspace(),
+                                  read_twix(p1).kspace())

@@ -58,6 +58,31 @@ _CH_SIZE = struct.calcsize(_CH_FMT)
 assert _CH_SIZE == 32, _CH_SIZE
 
 ACQEND = 1 << 0
+# evalInfoMask bits (Siemens ICE; same values mapVBVD keys its scan
+# sorting on).  Real scanner files interleave service scans with the
+# image lines; the reference's mapvbvd call returns only the image set,
+# so this reader must filter the same way.
+RTFEEDBACK = 1 << 1
+HPFEEDBACK = 1 << 2
+SYNCDATA = 1 << 5          # physio/sync packet: raw block, NOT channel data
+REFPHASESTABSCAN = 1 << 14
+PHASESTABSCAN = 1 << 15
+PHASCOR = 1 << 21
+PATREFSCAN = 1 << 22
+PATREFANDIMASCAN = 1 << 23
+NOISEADJSCAN = 1 << 25
+_NON_IMAGE_MASK = (RTFEEDBACK | HPFEEDBACK | PHASCOR | NOISEADJSCAN
+                   | REFPHASESTABSCAN | PHASESTABSCAN)
+_DMA_LEN_MASK = 0x01FFFFFF  # low 25 bits of the first MDH u32
+
+
+def _is_image_scan(eval_mask: int) -> bool:
+    if eval_mask & _NON_IMAGE_MASK:
+        return False
+    # parallel-imaging reference lines only count when also image lines
+    if eval_mask & PATREFSCAN and not (eval_mask & PATREFANDIMASCAN):
+        return False
+    return True
 
 # VB-era sMDH (128 bytes): the channel id lives inside the MDH and each
 # channel repeats the full MDH — no separate 32-byte channel header.
@@ -148,7 +173,9 @@ def _read_twix_vb(buf: bytes) -> TwixMeasurement:
     scans: List[TwixScan] = []
     meas_id = 0
     while pos + _MDH_VB_SIZE <= len(buf):
+        mdh_start = pos
         fields = struct.unpack_from(_MDH_VB_FMT, buf, pos)
+        dma_len = fields[0] & _DMA_LEN_MASK
         meas_id = fields[1]
         eval_mask = fields[5]
         n_samples = fields[7]
@@ -158,10 +185,16 @@ def _read_twix_vb(buf: bytes) -> TwixMeasurement:
         pos += _MDH_VB_SIZE
         if eval_mask & ACQEND:
             break
+        if eval_mask & SYNCDATA:
+            if dma_len <= _MDH_VB_SIZE or mdh_start + dma_len > len(buf):
+                raise ValueError("malformed SYNCDATA packet (bad DMA length)")
+            pos = mdh_start + dma_len
+            continue
         raw = np.frombuffer(buf, np.complex64, n_samples, pos)
         pos += n_samples * 8
-        scans.append(TwixScan(line=line, slice=slc, channel=channel,
-                              data=raw.copy()))
+        if _is_image_scan(eval_mask):
+            scans.append(TwixScan(line=line, slice=slc, channel=channel,
+                                  data=raw.copy()))
     return TwixMeasurement(
         meas_id=meas_id,
         protocol_name=proto,
@@ -179,8 +212,9 @@ def read_twix(path: str) -> TwixMeasurement:
     if len(buf) < 8:
         raise ValueError("not a twix file (shorter than 8 bytes)")
     raid_id, n_meas = struct.unpack_from("<II", buf, 0)
-    if not (raid_id < 10000 and 0 < n_meas < 64):
-        # mapvbvd's layout heuristic: anything else is a VB header length.
+    if not (raid_id < 10000 and 0 < n_meas <= 64):
+        # mapvbvd's layout heuristic (secondInt <= 64 is multi-raid):
+        # anything else is a VB header length.
         return _read_twix_vb(buf)
     entries = []
     off = 8
@@ -204,7 +238,9 @@ def read_twix(path: str) -> TwixMeasurement:
     end = meas_off + meas_len
     scans: List[TwixScan] = []
     while pos + _MDH_SIZE <= end:
+        mdh_start = pos
         fields = struct.unpack_from(_MDH_FMT, buf, pos)
+        dma_len = fields[0] & _DMA_LEN_MASK
         eval_mask = fields[11]
         n_samples = fields[12]
         n_channels = fields[13]
@@ -213,13 +249,24 @@ def read_twix(path: str) -> TwixMeasurement:
         pos += _MDH_SIZE
         if eval_mask & ACQEND:
             break
+        if eval_mask & SYNCDATA:
+            # physio/sync packet: its payload is NOT channel blocks; the
+            # MDH's DMA length (which includes the MDH itself) is the only
+            # way to skip it without desyncing the parse
+            if dma_len <= _MDH_SIZE or mdh_start + dma_len > end:
+                raise ValueError("malformed SYNCDATA packet (bad DMA length)")
+            pos = mdh_start + dma_len
+            continue
+        keep = _is_image_scan(eval_mask)
         for _c in range(n_channels):
             ch = struct.unpack_from(_CH_FMT, buf, pos)
             pos += _CH_SIZE
             raw = np.frombuffer(buf, np.complex64, n_samples, pos)
             pos += n_samples * 8
-            scans.append(TwixScan(line=line, slice=slc, channel=ch[6],
-                                  data=raw.copy()))
+            if keep:  # noise-adjust / phasecor / feedback scans are parsed
+                # (their payload IS channel blocks) but not image data
+                scans.append(TwixScan(line=line, slice=slc, channel=ch[6],
+                                      data=raw.copy()))
     return TwixMeasurement(
         meas_id=meas_id,
         protocol_name=proto or prot_name,
@@ -234,12 +281,20 @@ def write_synthetic_twix(
     kspace: np.ndarray,   # [columns, lines, slices] or [chan, col, lin, sli]
     protocol_name: str = "fl_gre_vent",
     scan_datetime: str = "2024-03-01 10:15:00",
+    service_scans: bool = False,
 ) -> None:
     """Write a VD/VE-layout .dat file for tests (one measurement; single- or
-    multi-channel depending on kspace rank)."""
+    multi-channel depending on kspace rank).
+
+    service_scans=True interleaves the packets real scanner files carry —
+    a SYNCDATA physio block mid-measurement and noise-adjust + phasecor
+    scans whose loop counters collide with image line 0 — so tests can
+    prove the reader skips/filters them exactly like mapvbvd.
+    """
     if kspace.ndim == 3:
         kspace = kspace[None]
     n_cha, n_col, n_lin, n_sli = kspace.shape
+    protocol_name = protocol_name[:64]  # raid entry field is 64 bytes
     header_text = (
         f'<XProtocol> tProtocolName = "{protocol_name}"\n'
         f'PrepareTimestamp = "{scan_datetime}"\n'
@@ -248,16 +303,41 @@ def write_synthetic_twix(
     body = bytearray()
     body += struct.pack("<I", 4 + len(hdr)) + hdr
     loop = bytearray(28)
+
+    def mdh(dma, scan_ctr, eval_mask, n_samp, n_ch):
+        return struct.pack(
+            _MDH_FMT,
+            dma, 1, scan_ctr, 0, 0, 0, 0, 0, 0, 0, 0, eval_mask, n_samp,
+            n_ch, bytes(loop), 0, n_samp // 2, 0, 0.0, 0, n_lin // 2, 0,
+            b"\x00" * 28, b"\x00" * 48, b"\x00" * 16,
+        )
+
+    def channel_blocks(values):
+        blk = bytearray()
+        for cha in range(n_cha):
+            blk += struct.pack(_CH_FMT, 0, 1, 0, 0, 0, 0, cha, 0, 0)
+            blk += np.ascontiguousarray(values, np.complex64).tobytes()
+        return blk
+
+    if service_scans:
+        # noise-adjust scan: channel payload of junk at line 0 / slice 0 —
+        # a reader that fails to filter overwrites real image data with it
+        struct.pack_into("<14H", loop, 0, *([0] * 14))
+        junk = np.full(n_col, 99.0 + 9.0j, np.complex64)
+        body += mdh(0, 1, NOISEADJSCAN, n_col, n_cha) + channel_blocks(junk)
+        body += mdh(0, 2, PHASCOR, n_col, n_cha) + channel_blocks(junk)
     for sli in range(n_sli):
         for lin in range(n_lin):
+            if service_scans and sli == 0 and lin == 1:
+                # SYNCDATA physio packet mid-measurement: payload is NOT
+                # channel blocks; only its DMA length lets a reader skip it
+                payload = b"\x07" * 100
+                struct.pack_into("<14H", loop, 0, *([0] * 14))
+                body += mdh(_MDH_SIZE + len(payload), 3, SYNCDATA, 0, 0)
+                body += payload
             struct.pack_into("<14H", loop, 0, lin, 0, sli, 0, 0, 0, 0, 0, 0,
                              0, 0, 0, 0, 0)
-            body += struct.pack(
-                _MDH_FMT,
-                0, 1, lin + 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, n_col, n_cha,
-                bytes(loop), 0, n_col // 2, 0, 0.0, 0, n_lin // 2, 0,
-                b"\x00" * 28, b"\x00" * 48, b"\x00" * 16,
-            )
+            body += mdh(0, lin + 4, 0, n_col, n_cha)
             for cha in range(n_cha):
                 body += struct.pack(_CH_FMT, 0, 1, lin + 1, 0, 0, 0, cha,
                                     0, 0)
@@ -266,11 +346,7 @@ def write_synthetic_twix(
                 ).tobytes()
     # ACQEND
     struct.pack_into("<14H", loop, 0, *([0] * 14))
-    body += struct.pack(
-        _MDH_FMT, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, ACQEND, 0, 0,
-        bytes(loop), 0, 0, 0, 0.0, 0, 0, 0, b"\x00" * 28, b"\x00" * 48,
-        b"\x00" * 16,
-    )
+    body += mdh(0, 0, ACQEND, 0, 0)
 
     meas_off = 8 + 152  # raid header + one entry
     # pad measurement start to 512-byte alignment like real files
@@ -281,7 +357,8 @@ def write_synthetic_twix(
     entry = bytearray(152)
     struct.pack_into("<IIQQ", entry, 0, 1, 1, meas_off, len(body))
     entry[24:24 + 7] = b"PHANTOM"
-    entry[88:88 + len(protocol_name.encode())] = protocol_name.encode()
+    pname = protocol_name.encode("latin-1", "replace")[:64]
+    entry[88:88 + len(pname)] = pname
     out += entry
     out += b"\x00" * pad
     out += body
@@ -294,10 +371,17 @@ def write_synthetic_twix_vb(
     kspace: np.ndarray,   # [columns, lines, slices] or [chan, col, lin, sli]
     protocol_name: str = "fl_gre_vent",
     scan_datetime: str = "2013-06-01 09:30:00",
+    service_scans: bool = False,
 ) -> None:
     """Write a VB-era-layout .dat file for tests: u32 header length +
     protocol text, then one 128-byte sMDH + samples per (channel, line,
-    slice), closed by an ACQEND MDH."""
+    slice), closed by an ACQEND MDH.
+
+    service_scans=True interleaves the same packets as the VD writer — a
+    SYNCDATA physio block mid-measurement plus noise-adjust and phasecor
+    scans colliding with image line 0 — to prove the VB reader filters
+    like mapvbvd does.
+    """
     if kspace.ndim == 3:
         kspace = kspace[None]
     n_cha, n_col, n_lin, n_sli = kspace.shape
@@ -310,18 +394,30 @@ def write_synthetic_twix_vb(
     out += struct.pack("<I", 4 + len(hdr)) + hdr
     loop = bytearray(28)
 
-    def mdh(lin, sli, cha, n_samples, mask):
+    def mdh(lin, sli, cha, n_samples, mask, dma=0):
         struct.pack_into("<14H", loop, 0, lin, 0, sli, 0, 0, 0, 0, 0, 0,
                          0, 0, 0, 0, 0)
         return struct.pack(
             _MDH_VB_FMT,
-            0, 7, lin + 1, 0, 0, mask, 0, n_samples, n_cha, bytes(loop),
+            dma, 7, lin + 1, 0, 0, mask, 0, n_samples, n_cha, bytes(loop),
             b"\x00" * 4, n_col // 2, 0, 0.0, 0, n_lin // 2, 0,
             b"\x00" * 8, b"\x00" * 8, b"\x00" * 28, cha, 0,
         )
 
+    if service_scans:
+        # junk payloads at image line 0 / slice 0: an unfiltering reader
+        # would overwrite real image data with them
+        junk = np.full(n_col, 99.0 + 9.0j, np.complex64).tobytes()
+        for mask in (NOISEADJSCAN, PHASCOR):
+            for cha in range(n_cha):
+                out += mdh(0, 0, cha, n_col, mask) + junk
     for sli in range(n_sli):
         for lin in range(n_lin):
+            if service_scans and sli == 0 and lin == 1:
+                payload = b"\x07" * 60  # physio block: not sample data
+                out += mdh(0, 0, 0, 0, SYNCDATA,
+                           dma=_MDH_VB_SIZE + len(payload))
+                out += payload
             for cha in range(n_cha):
                 out += mdh(lin, sli, cha, n_col, 0)
                 out += np.ascontiguousarray(

@@ -54,6 +54,12 @@ def denoise_volume(
     Detail coefficients with |c| <= threshold are zeroed (hard, the
     playground's apply_threshold) or shrunk (soft thresholding).
     """
+    H, W = volume.shape[0], volume.shape[1]
+    step = 1 << levels
+    if H % step or W % step:
+        raise ValueError(
+            f"H and W must be divisible by 2**levels={step} for the Haar "
+            f"DWT (got {H}x{W}); pad or crop the volume first")
     x = jnp.moveaxis(volume, -1, 0).astype(jnp.float32)  # [D, H, W]
 
     def thresh(c):

@@ -156,6 +156,12 @@ class ForeignStub:
     def extend(self, *a, **k):
         pass
 
+    def __setitem__(self, *a, **k):  # dict-like containers (SETITEMS opcode)
+        pass
+
+    def update(self, *a, **k):
+        pass
+
     def __repr__(self):
         return f"<ForeignStub of {self._foreign_class}>"
 
@@ -226,7 +232,11 @@ def study_filename(irb: str, metadata: Dict, **fields) -> str:
     if irb == "clinical":
         name = (f"Clinical_{fields.get('clinical_id', '')}_{date}"
                 f"_visit{fields.get('visit', 0)}")
-        t = fields.get("treatment", "none")
-        name += "_Albuterol" if t == "Albuterol" else "_baseline"
+        t = fields.get("treatment", "")
+        if t == "Albuterol":
+            name += "_Albuterol"
+        elif t == "baseline":
+            name += "_baseline"
+        # neither radio selected -> no suffix (Vent_Analysis.py:982-984)
         return name
     raise ValueError(f"unknown IRB study type {irb!r}")

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ventjax.oracle.reference import normalize
+
 
 def montage(volume: np.ndarray, grid_shape=None, fill: float = 0.0) -> np.ndarray:
     """[H, W, D] -> 2-D montage with slices laid out row-major on the grid."""
@@ -19,6 +21,11 @@ def montage(volume: np.ndarray, grid_shape=None, fill: float = 0.0) -> np.ndarra
         cols = int(np.ceil(D / rows))
     else:
         rows, cols = grid_shape
+        if rows * cols < D:
+            # skimage.util.montage raises here too — silently dropping
+            # slices would produce report images with missing data
+            raise ValueError(
+                f"grid_shape {grid_shape} cannot hold {D} slices")
     out = np.full((rows * H, cols * W), fill, dtype=volume.dtype)
     for k in range(min(D, rows * cols)):
         r, c = divmod(k, cols)
@@ -44,24 +51,19 @@ def make_montage(a: np.ndarray, n_rows=None, n_cols=None,
     else:
         n_rows = n_cols = int(np.ceil(np.sqrt(D)))
 
-    def norm(x):
-        rng = x.max() - x.min()
-        return x if rng == 0 else (x - x.min()) / rng
-
     tiles = np.zeros((n_rows * a.shape[0], n_cols * a.shape[1]))
     for k in range(min(D, n_rows * n_cols)):
         r, c = divmod(k, n_cols)
-        tile = a[:, :, k] if same_scale else norm(a[:, :, k])
+        tile = a[:, :, k] if same_scale else normalize(a[:, :, k])
         tiles[r * a.shape[0]:(r + 1) * a.shape[0],
               c * a.shape[1]:(c + 1) * a.shape[1]] = tile
-    return norm(tiles)
+    return normalize(tiles)
 
 
 def color_binary(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Gray image with binary overlay painted red, scaled to 0-255
     (GUI colorBinary helper, Vent_Analysis.py:628-634)."""
-    rng = a.max() - a.min()
-    a = a if rng == 0 else (a - a.min()) / rng
+    a = normalize(a)
     out = np.zeros((a.shape[0], a.shape[1], 3))
     out[:, :, 0] = a * (b == 0) + b
     out[:, :, 1] = a * (b == 0)

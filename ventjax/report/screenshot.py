@@ -23,7 +23,20 @@ from ventjax.oracle.reference import crop_to_data, normalize
 from ventjax.report.parula import PARULA_64
 
 
+_FONT_CACHE: Dict[int, "ImageFont.FreeTypeFont"] = {}
+
+
 def _font(size: int):
+    # resolved once per size: the probe chain (failed arial.ttf, possible
+    # matplotlib import) otherwise reruns for every text draw — ~23 times
+    # per screenshot, hundreds of times per cohort
+    if size in _FONT_CACHE:
+        return _FONT_CACHE[size]
+    _FONT_CACHE[size] = _resolve_font(size)
+    return _FONT_CACHE[size]
+
+
+def _resolve_font(size: int):
     for name in ("arial.ttf", "DejaVuSans.ttf"):
         try:
             return ImageFont.truetype(name, size=size)
