@@ -230,17 +230,18 @@ def _cmd_twix(args) -> int:
     from ventjax.ops.fft_recon import (
         recon_2d_multislice, recon_2d_multislice_rss,
     )
-    import jax.numpy as jnp
 
     tw = read_twix(args.dat)
+    # complex arrays stay on host: the recon wrappers split real/imag and
+    # run the MXU matmul-DFT (no complex dtype ever reaches the device)
     if tw.n_channels > 1:
         k = tw.kspace_multicoil()
-        img = np.asarray(recon_2d_multislice_rss(jnp.asarray(k)))
+        img = recon_2d_multislice_rss(k)
         combine = "rss"
         kshape = list(k.shape)
     else:
         k = tw.kspace()
-        img = np.asarray(recon_2d_multislice(jnp.asarray(k)))
+        img = recon_2d_multislice(k)
         combine = "none"
         kshape = list(k.shape)
     os.makedirs(args.out, exist_ok=True)

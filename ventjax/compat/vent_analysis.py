@@ -293,7 +293,7 @@ class Vent_Analysis:
         self.metadata["TWIXscanDateTime"] = self.raw_twix.scan_datetime
         self.metadata["TWIXprotocolName"] = self.raw_twix.protocol_name
         self.raw_K = self.raw_twix.kspace()
-        self.raw_HPvent = np.asarray(recon_2d_multislice(jnp.asarray(self.raw_K)))
+        self.raw_HPvent = recon_2d_multislice(self.raw_K)
         return self.raw_HPvent
 
     def pickleMe(self, pickle_path="VentPickle.pkl"):
