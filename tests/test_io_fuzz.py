@@ -609,3 +609,34 @@ def test_twix_64_measurement_multiraid_detected(tmp_path):
     open(p64, "wb").write(out)
     np.testing.assert_array_equal(read_twix(p64).kspace(),
                                   read_twix(p1).kspace())
+
+
+def test_recon_matmul_dft_matches_fft_oracle():
+    """The recon is a centered DFT expressed as MXU matmuls on split
+    real/imag planes (no complex dtype on device — the target TPU
+    backend has none).  Pin it against the np.fft recipe the reference
+    runs (Vent_Analysis.py:537-540) at non-square and non-power-of-two
+    sizes, where a wrong shift permutation or transposed DFT matrix
+    cannot hide."""
+    from ventjax.ops.fft_recon import (
+        recon_2d_multislice, recon_2d_multislice_rss,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w, s) in [(16, 12, 2), (64, 64, 3), (128, 100, 2), (13, 9, 2)]:
+        k = (rng.normal(size=(h, w, s))
+             + 1j * rng.normal(size=(h, w, s))).astype(np.complex64)
+        img = recon_2d_multislice(k)
+        want = np.transpose(
+            np.fft.fftshift(np.fft.fft2(np.fft.fftshift(
+                k.astype(np.complex128), axes=(0, 1)), axes=(0, 1)),
+                axes=(0, 1)),
+            (1, 0, 2))[:, ::-1, :]
+        assert np.abs(img - want).max() / np.abs(want).max() < 1e-5
+    kmc = (rng.normal(size=(3, 16, 12, 2))
+           + 1j * rng.normal(size=(3, 16, 12, 2))).astype(np.complex64)
+    per = np.stack([np.asarray(recon_2d_multislice(kmc[c]))
+                    for c in range(3)])
+    np.testing.assert_allclose(
+        recon_2d_multislice_rss(kmc),
+        np.sqrt((np.abs(per) ** 2).sum(axis=0)), rtol=1e-5)
