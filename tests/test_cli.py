@@ -196,3 +196,37 @@ def test_compile_cache_populates_and_disables(tmp_path, monkeypatch):
     monkeypatch.setenv("VENTJAX_NO_CACHE", "1")
     assert enable_compile_cache(str(tmp_path / "other")) is None
     assert not os.path.exists(str(tmp_path / "other"))
+
+
+def test_manifest_validation_errors(tmp_path):
+    """A malformed manifest must fail with an actionable message at load
+    time, not a KeyError deep inside the batched dispatch."""
+    import json
+
+    import pytest
+
+    from ventjax.pipeline.cohort import load_manifest
+
+    p = str(tmp_path / "m.json")
+
+    json.dump({"id": "a"}, open(p, "w"))
+    with pytest.raises(ValueError, match="JSON list"):
+        load_manifest(p)
+
+    json.dump([{"subject": "a", "xenon": "x", "mask": "m"}], open(p, "w"))
+    with pytest.raises(ValueError, match="missing required key.*id"):
+        load_manifest(p)
+
+    json.dump([{"id": "a", "xenon": "x"}], open(p, "w"))
+    with pytest.raises(ValueError, match="mask"):
+        load_manifest(p)
+
+    json.dump([{"id": "a", "xenon": "x", "mask": "m"},
+               {"id": "a", "xenon": "y", "mask": "n"}], open(p, "w"))
+    with pytest.raises(ValueError, match="duplicate"):
+        load_manifest(p)
+
+    good = [{"id": "a", "xenon": "x", "mask": "m"},
+            {"id": "b", "xenon": "y", "mask": "n", "proton": "p"}]
+    json.dump(good, open(p, "w"))
+    assert load_manifest(p) == good

@@ -57,6 +57,21 @@ def load_manifest(path: str) -> List[Dict]:
         subjects = json.load(f)
     if not isinstance(subjects, list):
         raise ValueError("manifest must be a JSON list of subject dicts")
+    for i, e in enumerate(subjects):
+        if not isinstance(e, dict):
+            raise ValueError(f"manifest entry {i} is not a dict")
+        missing = [k for k in ("id", "xenon", "mask") if k not in e]
+        if missing:
+            raise ValueError(
+                f"manifest entry {i} is missing required key(s) "
+                f"{missing}; each entry needs "
+                '{"id", "xenon", "mask"} (optional "proton")')
+    ids = [e["id"] for e in subjects]
+    if len(set(ids)) != len(ids):
+        dupes = sorted({s for s in ids if ids.count(s) > 1})
+        raise ValueError(
+            f"manifest has duplicate subject id(s) {dupes}; ids name the "
+            "per-subject output directories and must be unique")
     return subjects
 
 
