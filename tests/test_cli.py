@@ -188,14 +188,27 @@ def test_compile_cache_populates_and_disables(tmp_path, monkeypatch):
 
     d = str(tmp_path / "xla")
     monkeypatch.delenv("VENTJAX_NO_CACHE", raising=False)
-    assert enable_compile_cache(d) == d
-    f = jax.jit(lambda x: x @ x.T + 2.0)
-    np.asarray(f(jnp.ones((32, 32))))
-    assert any("cache" in e for e in os.listdir(d))
+    saved = {k: getattr(jax.config, k) for k in (
+        "jax_compilation_cache_dir",
+        "jax_persistent_cache_min_compile_time_secs",
+        "jax_persistent_cache_min_entry_size_bytes",
+    )}
+    try:
+        assert enable_compile_cache(d) == d
+        f = jax.jit(lambda x: x @ x.T + 2.0)
+        np.asarray(f(jnp.ones((32, 32))))
+        assert any("cache" in e for e in os.listdir(d))
 
-    monkeypatch.setenv("VENTJAX_NO_CACHE", "1")
-    assert enable_compile_cache(str(tmp_path / "other")) is None
-    assert not os.path.exists(str(tmp_path / "other"))
+        monkeypatch.setenv("VENTJAX_NO_CACHE", "1")
+        assert enable_compile_cache(str(tmp_path / "other")) is None
+        assert not os.path.exists(str(tmp_path / "other"))
+    finally:
+        # tmp_path is deleted after the test; leaving the global cache
+        # config pointed there would leak into every later compile
+        for k, v in saved.items():
+            jax.config.update(k, v)
+        from jax.experimental.compilation_cache import compilation_cache
+        compilation_cache.reset_cache()
 
 
 def test_manifest_validation_errors(tmp_path):
@@ -230,3 +243,19 @@ def test_manifest_validation_errors(tmp_path):
             {"id": "b", "xenon": "y", "mask": "n", "proton": "p"}]
     json.dump(good, open(p, "w"))
     assert load_manifest(p) == good
+
+
+def test_manifest_id_must_be_string(tmp_path):
+    import json
+
+    import pytest
+
+    from ventjax.pipeline.cohort import load_manifest
+
+    p = str(tmp_path / "m.json")
+    json.dump([{"id": 1, "xenon": "x", "mask": "m"}], open(p, "w"))
+    with pytest.raises(ValueError, match="non-empty string"):
+        load_manifest(p)
+    json.dump([{"id": ["a"], "xenon": "x", "mask": "m"}], open(p, "w"))
+    with pytest.raises(ValueError, match="non-empty string"):
+        load_manifest(p)

@@ -640,3 +640,33 @@ def test_recon_matmul_dft_matches_fft_oracle():
     np.testing.assert_allclose(
         recon_2d_multislice_rss(kmc),
         np.sqrt((np.abs(per) ** 2).sum(axis=0)), rtol=1e-5)
+
+
+def test_twix_zero_payload_syncdata_skipped(tmp_path):
+    """A SYNCDATA MDH whose DMA length equals the MDH size carries no
+    payload; the skip lands exactly at the next MDH and the file must
+    parse (only DMA < MDH size or overrun is malformed)."""
+    import struct as _struct
+    from ventjax.io import twix as tw
+
+    rng = np.random.default_rng(26)
+    k = (rng.normal(size=(8, 6, 2))
+         + 1j * rng.normal(size=(8, 6, 2))).astype(np.complex64)
+    clean, noisy = str(tmp_path / "c.dat"), str(tmp_path / "n.dat")
+    tw.write_synthetic_twix(clean, k)
+    tw.write_synthetic_twix(noisy, k, service_scans=True)
+    buf = bytearray(open(noisy, "rb").read())
+    for off in range(0, len(buf) - tw._MDH_SIZE):
+        (mask,) = _struct.unpack_from("<Q", buf, off + 40)
+        if mask == tw.SYNCDATA:
+            (dma,) = _struct.unpack_from("<I", buf, off)
+            if dma == tw._MDH_SIZE + 100:
+                # rewrite as zero-payload: DMA == MDH size, drop payload
+                _struct.pack_into("<I", buf, off, tw._MDH_SIZE)
+                del buf[off + tw._MDH_SIZE:off + tw._MDH_SIZE + 100]
+                break
+    else:
+        raise AssertionError("SYNCDATA MDH not located")
+    open(noisy, "wb").write(bytes(buf))
+    np.testing.assert_array_equal(tw.read_twix(noisy).kspace(),
+                                  tw.read_twix(clean).kspace())

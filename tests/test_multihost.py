@@ -162,9 +162,8 @@ def test_four_process_failure_injection_and_recovery(tmp_path):
             if all(os.path.exists(os.path.join(workdir, "out", s, ".done"))
                    for s in batch1):
                 break
-            for p in procs[:3]:
-                if p.poll() not in (None, 0):
-                    break  # survivor errored out — check markers below
+            if any(p.poll() not in (None, 0) for p in procs[:3]):
+                break  # survivor errored out — check markers below
             time.sleep(0.5)
         assert all(os.path.exists(os.path.join(workdir, "out", s, ".done"))
                    for s in batch1), "batch-1 exports lost in the crash"

@@ -222,7 +222,7 @@ class VentController:
         treatment = {
             "genxe": s.genxe_treatment,
             "mepo": s.mepo_treatment,
-            "clinical": s.clinical_treatment or "none",
+            "clinical": s.clinical_treatment,
         }[s.irb]
         visit = {"genxe": None, "mepo": s.mepo_visit or None,
                  "clinical": s.clinical_visit}[s.irb]

@@ -32,7 +32,7 @@ VB-era files (single measurement, 128-byte sMDH with the channel id INSIDE
 each MDH, no separate channel headers) are supported alongside VD/VE
 (mapvbvd parses both, reference Vent_Analysis.py:532).  Dispatch uses
 mapvbvd's published heuristic: first uint32 < 10000 and second uint32 in
-[1, 64) means a VD/VE multi-raid header, anything else is a VB header
+[1, 64] means a VD/VE multi-raid header, anything else is a VB header
 length.
 """
 from __future__ import annotations
@@ -186,7 +186,8 @@ def _read_twix_vb(buf: bytes) -> TwixMeasurement:
         if eval_mask & ACQEND:
             break
         if eval_mask & SYNCDATA:
-            if dma_len <= _MDH_VB_SIZE or mdh_start + dma_len > len(buf):
+            # == is a valid zero-payload packet (skip lands exactly here)
+            if dma_len < _MDH_VB_SIZE or mdh_start + dma_len > len(buf):
                 raise ValueError("malformed SYNCDATA packet (bad DMA length)")
             pos = mdh_start + dma_len
             continue
@@ -253,7 +254,8 @@ def read_twix(path: str) -> TwixMeasurement:
             # physio/sync packet: its payload is NOT channel blocks; the
             # MDH's DMA length (which includes the MDH itself) is the only
             # way to skip it without desyncing the parse
-            if dma_len <= _MDH_SIZE or mdh_start + dma_len > end:
+            # == is a valid zero-payload packet (skip lands exactly here)
+            if dma_len < _MDH_SIZE or mdh_start + dma_len > end:
                 raise ValueError("malformed SYNCDATA packet (bad DMA length)")
             pos = mdh_start + dma_len
             continue

@@ -66,6 +66,11 @@ def load_manifest(path: str) -> List[Dict]:
                 f"manifest entry {i} is missing required key(s) "
                 f"{missing}; each entry needs "
                 '{"id", "xenon", "mask"} (optional "proton")')
+        if not isinstance(e["id"], str) or not e["id"]:
+            raise ValueError(
+                f"manifest entry {i}: \"id\" must be a non-empty string "
+                f"(got {e['id']!r}); it names the subject's output "
+                "directory")
     ids = [e["id"] for e in subjects]
     if len(set(ids)) != len(ids):
         dupes = sorted({s for s in ids if ids.count(s) > 1})
