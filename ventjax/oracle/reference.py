@@ -9,7 +9,9 @@ from __future__ import annotations
 from typing import Dict, Tuple
 
 import numpy as np
-from scipy.signal import medfilt2d
+# NOTE: scipy is imported lazily inside vdp_mean_anchored — the report
+# layer reuses this module's normalize/crop helpers, and scipy must stay
+# an oracle-only optional dependency (pyproject [oracle] extra).
 
 
 def normalize(x: np.ndarray) -> np.ndarray:
@@ -89,6 +91,8 @@ def vdp_mean_anchored(
     Returns (defectArray, VDP).  defect = per-slice medfilt2d of
     (n4/mean(masked) < thresh) * mask with the default 3x3 kernel.
     """
+    from scipy.signal import medfilt2d
+
     signal = n4[mask > 0]
     mean_norm = n4 / np.mean(signal)
     defect = np.zeros(mean_norm.shape)
