@@ -397,6 +397,13 @@ def main(argv=None) -> int:
     i.set_defaults(fn=_cmd_info)
 
     args = p.parse_args(argv)
+    if os.environ.get("VENTJAX_DEBUG_STACKS"):
+        # Hang forensics (the axon tunnel can wedge a client mid-call
+        # with zero CPU and no error): dump every thread's Python stack
+        # to stderr every 120 s so a stuck run shows WHERE it is stuck.
+        import faulthandler
+
+        faulthandler.dump_traceback_later(120, repeat=True)
     if not args.no_compile_cache and args.cmd in ("analyze", "cohort",
                                                   "twix", "train-seg",
                                                   "gui"):
