@@ -623,7 +623,10 @@ def test_recon_matmul_dft_matches_fft_oracle():
     )
 
     rng = np.random.default_rng(11)
-    for (h, w, s) in [(16, 12, 2), (64, 64, 3), (128, 100, 2), (13, 9, 2)]:
+    # the final size reuses dimensions from EARLIER traces: the DFT-matrix
+    # cache must hand back host constants, not a prior trace's tracers
+    for (h, w, s) in [(16, 12, 2), (64, 64, 3), (128, 100, 2), (13, 9, 2),
+                      (128, 64, 2)]:
         k = (rng.normal(size=(h, w, s))
              + 1j * rng.normal(size=(h, w, s))).astype(np.complex64)
         img = recon_2d_multislice(k)

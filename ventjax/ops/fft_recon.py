@@ -32,12 +32,17 @@ def _centered_dft_mats(n: int):
     Built by applying the exact transform to the identity in float64 on
     host (the transform is linear, so T(I) IS its matrix), then cast to
     f32 for the device matmuls.
+
+    Returns HOST numpy arrays, never device arrays: a jnp constant
+    created during one jit trace and memoized here would leak that
+    trace's tracer into the next retrace that shares a dimension
+    (caught by benchmarks/recon_chip_fidelity.py).  numpy constants
+    embed freshly into every trace.
     """
     eye = np.eye(n)
     m = np.fft.fftshift(np.fft.fft(np.fft.fftshift(eye, axes=0), axis=0),
                         axes=0)
-    return (jnp.asarray(m.real.astype(np.float32)),
-            jnp.asarray(m.imag.astype(np.float32)))
+    return (m.real.astype(np.float32), m.imag.astype(np.float32))
 
 
 @functools.partial(jax.jit, static_argnums=())
