@@ -30,6 +30,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from ventjax.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # fidelity checks re-run often; skip recompiles
+
     from ventjax.io.phantom import make_phantom
     from ventjax.ops.ci_pairwise import (
         build_ci_pairwise_geometry, calculate_ci_pairwise)

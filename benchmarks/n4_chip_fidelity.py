@@ -30,6 +30,10 @@ ENVELOPE = 2e-3
 def main() -> int:
     import jax.numpy as jnp
 
+    from ventjax.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # fidelity checks re-run often; skip recompiles
+
     from ventjax.io.phantom import make_phantom
     from ventjax.ops.n4 import n4_bias_correction
     from ventjax.oracle.n4_oracle import n4_bias_correction_oracle

@@ -38,6 +38,10 @@ def _oracle_single(k: np.ndarray) -> np.ndarray:
 def main() -> int:
     import jax
 
+    from ventjax.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()  # fidelity checks re-run often; skip recompiles
+
     from ventjax.ops.fft_recon import (
         recon_2d_multislice, recon_2d_multislice_rss,
     )

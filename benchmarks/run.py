@@ -217,6 +217,13 @@ def main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
 
+    # Persistent compile cache: five configs x fresh process = minutes of
+    # remote compile without it; the timed loops never compile so steady-
+    # state numbers are unaffected.  VENTJAX_NO_CACHE=1 disables.
+    from ventjax.utils.profiling import enable_compile_cache
+
+    enable_compile_cache()
+
     rows = []
     for n in args.configs:
         row = bench_config(n, args.batch, args.iters)
