@@ -12,11 +12,15 @@ subset of DICOM needed for full parity with the reference's I/O paths:
   (Vent_Analysis.py:381-428: exportDICOM),
 - full-header JSON dumps (Vent_Analysis.py:360-379: dicom_to_dict/json).
 
-Supported transfer syntaxes (the set pydicom 2.3.0 decodes with no extra
-codec packages, i.e. everything the reference app can ingest): Explicit VR
-Little Endian, Implicit VR Little Endian, Deflated Explicit VR LE,
-Explicit VR Big Endian (retired, archives only), and RLE Lossless
-encapsulated pixel data.  The API deliberately mirrors the
+Supported transfer syntaxes (the set the reference's pinned stack —
+pydicom 2.3.0 + Pillow 10, requirements.txt:4-5 — decodes, i.e. everything
+the reference app can ingest): Explicit VR Little Endian, Implicit VR
+Little Endian, Deflated Explicit VR LE, Explicit VR Big Endian (retired,
+archives only), RLE Lossless, and the Pillow-handled encapsulated family
+(JPEG Baseline .50, 8-bit JPEG Extended .51, JPEG 2000 .90/.91).  JPEG
+Lossless (.57/.70) and JPEG-LS stay rejected: the reference's stack cannot
+decode them either without plugins it never pins.  The API deliberately
+mirrors the
 pydicom surface the reference uses (Dataset attribute access by keyword,
 ``pixel_array``, ``save_as``, ``generate_uid``) so the compat facade keeps
 working user code unchanged.
@@ -87,6 +91,17 @@ IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 DEFLATED_EXPLICIT_VR_LE = "1.2.840.10008.1.2.1.99"
 EXPLICIT_VR_BE = "1.2.840.10008.1.2.2"  # retired, still seen in archives
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_BASELINE = "1.2.840.10008.1.2.4.50"      # JPEG Baseline (Process 1)
+JPEG_EXTENDED = "1.2.840.10008.1.2.4.51"      # JPEG Extended (Process 2&4)
+JPEG2000_LOSSLESS = "1.2.840.10008.1.2.4.90"  # JPEG 2000, lossless only
+JPEG2000 = "1.2.840.10008.1.2.4.91"           # JPEG 2000
+
+# Syntaxes decoded through Pillow — exactly the encapsulated set the
+# reference's pinned stack (pydicom 2.3.0 + Pillow 10, requirements.txt:4-5)
+# ingests via its Pillow pixel-data handler.  JPEG Lossless (.57/.70) and
+# JPEG-LS (.80/.81) need pylibjpeg/gdcm plugins the reference does not pin,
+# so both stacks reject them; keeping that boundary identical is deliberate.
+_PIL_SYNTAXES = (JPEG_BASELINE, JPEG_EXTENDED, JPEG2000_LOSSLESS, JPEG2000)
 
 
 class EncapsulatedPixelData:
@@ -175,6 +190,78 @@ def _rle_decode_frame(
             val = (val << np.uint32(8)) | planes[s * bpp + b].astype(np.uint32)
         out[s] = val
     return out
+
+
+def _encapsulated_frames(raw: "EncapsulatedPixelData", nframes: int) -> List[bytes]:
+    """Group encapsulated fragments into one byte string per frame.
+
+    PS3.5 A.4: a frame may span several fragments.  Resolution order —
+    single frame: concatenate everything; one fragment per frame: identity;
+    otherwise the Basic Offset Table (uint32 LE byte offsets of each frame's
+    first fragment item, measured from the first byte after the BOT item)
+    decides the grouping.  Anything else is ambiguous and fails loudly.
+    """
+    frags = raw.fragments
+    if nframes == 1:
+        return [b"".join(frags)]
+    if len(frags) == nframes:
+        return list(frags)
+    bot = raw.offset_table
+    if len(bot) == 4 * nframes:
+        offsets = list(struct.unpack(f"<{nframes}I", bot))
+        # byte position of each fragment's item tag relative to the first
+        positions, pos = [], 0
+        for f in frags:
+            positions.append(pos)
+            pos += 8 + len(f)  # item tag+length header precedes each fragment
+        if offsets[0] != 0 or offsets != sorted(offsets) or not all(
+                o in positions for o in offsets):
+            raise ValueError(
+                f"Basic Offset Table {offsets} does not align with "
+                f"fragment positions {positions}")
+        frames = []
+        bounds = offsets + [pos]
+        for f in range(nframes):
+            frames.append(b"".join(
+                frag for frag, p in zip(frags, positions)
+                if bounds[f] <= p < bounds[f + 1]))
+        if any(not fr for fr in frames):
+            raise ValueError("Basic Offset Table leaves a frame empty")
+        return frames
+    raise ValueError(
+        f"cannot map {len(frags)} encapsulated fragments to {nframes} "
+        f"frames (no usable Basic Offset Table)")
+
+
+def _pil_decode_frame(
+    data: bytes, ts: str, rows: int, cols: int, samples: int, dtype,
+) -> np.ndarray:
+    """Decode one JPEG/JPEG-2000 frame via Pillow (the reference's handler).
+
+    pydicom 2.3.0 routes these syntaxes to its Pillow handler
+    (reference requirements.txt:4-5); decoding through PIL here gives
+    byte-parity with what the reference app's ``pixel_array`` returns.
+    """
+    import io as _io
+
+    from PIL import Image
+
+    try:
+        with Image.open(_io.BytesIO(data)) as im:
+            a = np.asarray(im)
+    except Exception as e:  # e.g. 12-bit JPEG Extended: Pillow can't
+        raise ValueError(
+            f"Pillow could not decode a frame of transfer syntax {ts}: {e} "
+            "(the reference's pydicom+Pillow stack has the same limit)"
+        ) from e
+    got_samples = a.shape[2] if a.ndim == 3 else 1
+    if a.shape[:2] != (rows, cols) or got_samples != samples:
+        raise ValueError(
+            f"decoded frame is {a.shape} but the header claims "
+            f"rows={rows} cols={cols} samples={samples}")
+    return a.astype(dtype, copy=False)
+
+
 MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 _UID_ROOT = "1.2.826.0.1.3680043.10.1453"  # ventjax org root (ad-hoc)
@@ -303,23 +390,33 @@ class Dataset:
             dtype = {8: np.int8, 16: np.int16, 32: np.int32}[bits]
         if isinstance(raw, EncapsulatedPixelData):
             ts = self.get("TransferSyntaxUID")
-            if ts != RLE_LOSSLESS:
+            if ts == RLE_LOSSLESS:
+                if len(raw.fragments) != nframes:
+                    raise ValueError(
+                        f"RLE PixelData has {len(raw.fragments)} fragments "
+                        f"for {nframes} frames (RLE requires one fragment "
+                        f"per frame)"
+                    )
+                frames = [
+                    _rle_decode_frame(f, rows, cols, samples, bits)
+                    for f in raw.fragments
+                ]
+                # [F, samples, npix] -> samples-last like pydicom
+                a = np.stack(frames).astype(dtype)
+                a = np.moveaxis(a, 1, 2)
+            elif ts in _PIL_SYNTAXES:
+                chunks = _encapsulated_frames(raw, nframes)
+                a = np.stack([
+                    _pil_decode_frame(c, ts, rows, cols, samples, dtype)
+                    for c in chunks
+                ])
+            else:
                 raise ValueError(
                     f"encapsulated PixelData with unsupported transfer "
-                    f"syntax {ts}"
+                    f"syntax {ts} (undecodable by the reference's "
+                    f"pydicom 2.3.0 + Pillow stack as well: JPEG Lossless "
+                    f"and JPEG-LS need pylibjpeg/gdcm plugins it never pins)"
                 )
-            if len(raw.fragments) != nframes:
-                raise ValueError(
-                    f"RLE PixelData has {len(raw.fragments)} fragments for "
-                    f"{nframes} frames (RLE requires one fragment per frame)"
-                )
-            frames = [
-                _rle_decode_frame(f, rows, cols, samples, bits)
-                for f in raw.fragments
-            ]
-            # [F, samples, npix] -> samples-last like pydicom's pixel_array
-            a = np.stack(frames).astype(dtype)
-            a = np.moveaxis(a, 1, 2)
             if samples > 1:
                 shape = ((nframes, rows, cols, samples) if nframes > 1
                          else (rows, cols, samples))
@@ -546,8 +643,13 @@ def read_file(path: str) -> Dataset:
         if meta_end is not None and r.pos < meta_end:
             r.pos = meta_end  # skip meta bytes the loop could not parse
         ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
+        # Every encapsulated syntax (1.2.840.10008.1.2.4.* JPEG family, .5
+        # RLE) carries an Explicit VR LE dataset, so header-only reads work
+        # for all of them — like pydicom's dcmread; pixel_array raises on
+        # the ones neither stack can decode.
         if ts not in (EXPLICIT_VR_LE, IMPLICIT_VR_LE, RLE_LOSSLESS,
-                      DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE):
+                      DEFLATED_EXPLICIT_VR_LE, EXPLICIT_VR_BE) and \
+                not ts.startswith("1.2.840.10008.1.2.4."):
             raise ValueError(f"unsupported transfer syntax {ts}")
         if ts == DEFLATED_EXPLICIT_VR_LE:
             # PS3.5 A.5: everything after the file meta group is one raw
