@@ -324,3 +324,55 @@ def test_native_scanner_falls_back_on_jpeg(tmp_path, rng):
                      rows=16, cols=16, nframes=1, bits=16)
     assert native.decode_pixels(path) is None
     np.testing.assert_array_equal(dcm.read_file(path).pixel_array, frame)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: mutated JPEG-family files fail cleanly (same contract as the
+# native/RLE fuzz suites — parse or raise, never hang, crash, or mis-shape)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_fuzz_mutations_fail_cleanly(tmp_path, rng):
+    frames = smooth16(rng, (2, 16, 16))
+    good_j2k = tmp_path / "g1.dcm"
+    write_encap_file(str(good_j2k), dcm.JPEG2000_LOSSLESS,
+                     [j2k_encode(f) for f in frames],
+                     rows=16, cols=16, nframes=2, bits=16)
+    good_jpg = tmp_path / "g2.dcm"
+    g8 = (frames & 0xFF).astype(np.uint8)
+    write_encap_file(str(good_jpg), dcm.JPEG_BASELINE,
+                     [jpeg_encode(f) for f in g8],
+                     rows=16, cols=16, nframes=2, bits=8)
+
+    import struct as _struct
+    bad = tmp_path / "bad.dcm"
+    n_ok = 0
+    for blob in (good_j2k.read_bytes(), good_jpg.read_bytes()):
+        for trial in range(150):
+            b = bytearray(blob)
+            kind = trial % 3
+            if kind == 0:
+                for _ in range(int(rng.integers(1, 9))):
+                    b[int(rng.integers(0, len(b)))] = int(rng.integers(256))
+            elif kind == 1:
+                b = b[:int(rng.integers(1, len(b)))]
+            else:
+                at = int(rng.integers(0, len(b)))
+                b[at:at] = bytes(rng.integers(
+                    0, 256, int(rng.integers(1, 48)), dtype=np.uint8))
+            bad.write_bytes(bytes(b))
+            try:
+                ds = dcm.read_file(str(bad))
+                if "PixelData" in ds:
+                    arr = ds.pixel_array
+                    # a successful decode must still honor the header shape
+                    assert arr.shape[-2:] == (16, 16) or arr.shape == (16, 16)
+                    n_ok += 1
+            except (ValueError, _struct.error, KeyError, EOFError,
+                    TypeError, MemoryError, OverflowError, AttributeError):
+                # AttributeError = a mutation stripped a header element the
+                # decode needs (Rows/Columns/...) — pydicom raises the same
+                pass  # clean rejection
+    # flips inside compressed payload bytes often still decode (lossy
+    # streams tolerate bit damage) — make sure the corpus exercised both
+    # outcomes rather than rejecting everything
+    assert n_ok > 5
