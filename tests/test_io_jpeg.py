@@ -376,3 +376,61 @@ def test_jpeg_fuzz_mutations_fail_cleanly(tmp_path, rng):
     # streams tolerate bit damage) — make sure the corpus exercised both
     # outcomes rather than rejecting everything
     assert n_ok > 5
+
+
+# ---------------------------------------------------------------------------
+# Mixed-transfer-syntax cohort: same phantom encoded three ways must produce
+# identical metrics lane-for-lane (plain LE, RLE Lossless, JPEG 2000
+# lossless are all bit-preserving encodings of the same study)
+# ---------------------------------------------------------------------------
+
+def test_cohort_mixed_transfer_syntaxes_identical_metrics(tmp_path):
+    from test_io_rle import write_rle_file
+
+    from ventjax.io.phantom import make_phantom
+    from ventjax.io.synthetic import write_mask_folder, write_multiframe
+    from ventjax.pipeline.cohort import run_cohort
+
+    ph = make_phantom(shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=6)
+    frames16 = np.clip(
+        np.transpose(ph.hp, (2, 0, 1)), 0, 65535).astype(np.uint16)
+    mask16 = (np.asarray(ph.mask) > 0).astype(np.uint16)
+
+    # subject A: plain Explicit VR LE (the baseline encoding)
+    a = tmp_path / "a"; a.mkdir()
+    write_multiframe(str(a / "xenon.dcm"), ph.hp, ph.vox)
+    write_mask_folder(str(a / "mask"), ph.mask, ph.vox)
+
+    # subject B: RLE Lossless mask slices (native scanner decodes these)
+    b = tmp_path / "b"; b.mkdir(); (b / "mask").mkdir()
+    for k in range(8):
+        write_rle_file(str(b / "mask" / f"s{k:03d}.dcm"),
+                       mask16[None, :, :, k].copy())
+
+    # subject C: JPEG 2000 lossless xenon AND mask (Python-codec fallback)
+    c = tmp_path / "c"; c.mkdir(); (c / "mask").mkdir()
+    write_encap_file(str(c / "xenon.dcm"), dcm.JPEG2000_LOSSLESS,
+                     [j2k_encode(f.copy()) for f in frames16],
+                     rows=64, cols=64, nframes=8, bits=16,
+                     extra={"SpacingBetweenSlices": 10.0,
+                            "PixelSpacing": dcm.MultiValue([1.5, 1.5]),
+                            "SliceThickness": 10.0})
+    for k in range(8):
+        write_encap_file(str(c / "mask" / f"s{k:03d}.dcm"),
+                         dcm.JPEG2000_LOSSLESS,
+                         [j2k_encode(mask16[:, :, k].copy())],
+                         rows=64, cols=64, nframes=1, bits=16)
+
+    manifest = [
+        {"id": "plain", "xenon": str(a / "xenon.dcm"), "mask": str(a / "mask")},
+        {"id": "rle", "xenon": str(a / "xenon.dcm"), "mask": str(b / "mask")},
+        {"id": "j2k", "xenon": str(c / "xenon.dcm"), "mask": str(c / "mask")},
+    ]
+    results = run_cohort(manifest, str(tmp_path / "out"), batch_size=2)
+    by_id = {r["id"]: r for r in results}
+    assert set(by_id) == {"plain", "rle", "j2k"}
+    for rid, r in by_id.items():
+        assert r.get("valid", True), (rid, r)
+    for key in ("VDP", "VDP_lb", "SNR", "CI", "LungVolume"):
+        vals = [by_id[i].get(key) for i in ("plain", "rle", "j2k")]
+        assert vals[0] == vals[1] == vals[2], (key, vals)
