@@ -313,3 +313,135 @@ def test_truncated_rle_file_fails_cleanly(tmp_path, rng):
             f.write(blob[:cut])
         with pytest.raises(Exception):
             dcm.read_file(pt).pixel_array
+
+
+# ---------------------------------------------------------------------------
+# Codec WRITE path (write_file / save_as transfer_syntax=RLE_LOSSLESS)
+# ---------------------------------------------------------------------------
+
+def _native_ds(frames: np.ndarray, bits=16, signed=False, samples=1):
+    """Dataset with raw (uncompressed) PixelData for the write-path tests."""
+    F, H, W = frames.shape[:3]
+    ds = dcm.Dataset()
+    ds.SOPClassUID = dcm.MR_STORAGE
+    ds.SOPInstanceUID = dcm.generate_uid()
+    ds.Rows, ds.Columns = H, W
+    ds.NumberOfFrames = F
+    ds.SamplesPerPixel = samples
+    ds.PhotometricInterpretation = "RGB" if samples == 3 else "MONOCHROME2"
+    ds.BitsAllocated = ds.BitsStored = bits
+    ds.HighBit = bits - 1
+    ds.PixelRepresentation = 1 if signed else 0
+    ds.add((0x7FE0, 0x0010), "OW" if bits > 8 else "OB",
+           np.ascontiguousarray(frames).tobytes())
+    return ds
+
+
+def test_codec_encoder_segment_matches_decoder(rng):
+    """The production encoder (dicom._rle_encode_segment) round-trips the
+    same adversarial byte patterns the in-test encoder is checked on —
+    including 128-crossing runs and run/literal interleave."""
+    cases = [
+        b"",
+        b"\x00" * 5000,
+        bytes(range(256)) * 8,
+        b"\xab" * 129, b"\xab" * 130, b"\xab" * 256 + b"\x01",
+        b"ABABAB" + b"\xff" * 300 + b"xyz",
+        rng.integers(0, 4, 10000, dtype=np.uint8).tobytes(),
+        rng.integers(0, 256, 7777, dtype=np.uint8).tobytes(),
+    ]
+    for original in cases:
+        enc = dcm._rle_encode_segment(original)
+        assert len(enc) % 2 == 0
+        if original:
+            assert dcm._rle_decode_segment(enc, len(original)) == original
+
+
+@pytest.mark.parametrize("bits,signed", [
+    (8, False), (16, False), (16, True), (32, False)])
+def test_write_file_rle_roundtrip(tmp_path, bits, signed, rng):
+    dt = {(8, False): np.uint8, (16, False): np.uint16,
+          (16, True): np.int16, (32, False): np.uint32}[(bits, signed)]
+    info = np.iinfo(dt)
+    frames = rng.integers(info.min, int(info.max) + 1, (5, 32, 24)).astype(dt)
+    frames[:, :8] = info.min  # long runs
+    ds = _native_ds(frames, bits=bits, signed=signed)
+    p = str(tmp_path / "w.dcm")
+    ds.save_as(p, transfer_syntax=dcm.RLE_LOSSLESS)
+    back = dcm.read_file(p)
+    assert back.get("TransferSyntaxUID") == dcm.RLE_LOSSLESS
+    assert np.array_equal(back.pixel_array, frames)
+
+
+def test_write_file_rle_rgb_and_native_scanner(tmp_path, rng):
+    rgb = rng.integers(0, 256, (3, 16, 20, 3)).astype(np.uint8)
+    ds = _native_ds(rgb.reshape(3, 16, 20 * 3), bits=8)
+    ds.Rows, ds.Columns = 16, 20
+    ds.SamplesPerPixel = 3
+    ds.PhotometricInterpretation = "RGB"
+    ds.PlanarConfiguration = 0
+    p = str(tmp_path / "rgb.dcm")
+    ds.save_as(p, transfer_syntax=dcm.RLE_LOSSLESS)
+    back = dcm.read_file(p)
+    assert np.array_equal(back.pixel_array, rgb)
+
+    from ventjax.io import native
+    if native.available():
+        got = native.decode_pixels(p)
+        assert got is not None
+        assert np.array_equal(got[0], rgb)
+
+
+def test_write_file_rle_transcodes_encapsulated_input(tmp_path, rng):
+    """RLE in -> RLE out re-encodes (our fragments, same pixels); RLE in ->
+    default save transcodes to Explicit VR LE (existing behavior)."""
+    frames = rng.integers(0, 4096, (4, 24, 16)).astype(np.uint16)
+    p0 = str(tmp_path / "src.dcm")
+    write_rle_file(p0, frames)  # in-test encoder
+    src = dcm.read_file(p0)
+    p1 = str(tmp_path / "re.dcm")
+    src.save_as(p1, transfer_syntax=dcm.RLE_LOSSLESS)
+    assert np.array_equal(dcm.read_file(p1).pixel_array, frames)
+
+
+def test_write_file_rle_validation(tmp_path, rng):
+    ds = dcm.Dataset()
+    ds.SOPClassUID = dcm.MR_STORAGE
+    with pytest.raises(ValueError, match="PixelData"):
+        dcm.write_file(str(tmp_path / "no.dcm"), ds,
+                       transfer_syntax=dcm.RLE_LOSSLESS)
+    with pytest.raises(ValueError, match="transfer syntax|supports"):
+        dcm.write_file(str(tmp_path / "ts.dcm"), ds,
+                       transfer_syntax=dcm.JPEG_BASELINE)
+
+
+def test_export_dicom_compressed_pacs(tmp_path, rng):
+    """export_dicom(transfer_syntax=RLE_LOSSLESS): per-slice PACS overlays
+    decode to exactly the uncompressed export's pixels and are smaller on
+    the background-dominated RGB overlays."""
+    import os
+
+    from ventjax.report.export import export_dicom
+
+    H, W, D = 48, 40, 4
+    # smooth intensity -> long byte runs, so the compressed files are
+    # guaranteed smaller (pure noise can expand slightly under RLE)
+    n4 = np.broadcast_to(
+        np.linspace(0, 1, H, dtype=np.float32)[:, None, None], (H, W, D)
+    ).copy()
+    defect = np.zeros((H, W, D), np.float32)
+    defect[10:20, 10:20, :] = 1.0
+    ds = _native_ds(rng.integers(0, 4096, (D, H, W)).astype(np.uint16))
+
+    raw_dir = export_dicom(ds, n4, defect, str(tmp_path / "raw"),
+                           vdp=5.0, for_pacs=True)
+    rle_dir = export_dicom(ds, n4, defect, str(tmp_path / "rle"),
+                           vdp=5.0, for_pacs=True,
+                           transfer_syntax=dcm.RLE_LOSSLESS)
+    for i in range(D):
+        a = dcm.read_file(os.path.join(raw_dir, f"dicom_{i}.dcm"))
+        b = dcm.read_file(os.path.join(rle_dir, f"dicom_{i}.dcm"))
+        assert b.get("TransferSyntaxUID") == dcm.RLE_LOSSLESS
+        assert np.array_equal(a.pixel_array, b.pixel_array)
+        assert (os.path.getsize(os.path.join(rle_dir, f"dicom_{i}.dcm"))
+                < os.path.getsize(os.path.join(raw_dir, f"dicom_{i}.dcm")))

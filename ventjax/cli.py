@@ -129,7 +129,8 @@ def _cmd_analyze(args) -> int:
     v.dicom_to_json(v.ds, os.path.join(args.out, f"{file_name}.json"))
     v.pickleMe(os.path.join(args.out, f"{file_name}.pkl"))
     v.screenShot(os.path.join(args.out, f"{file_name}.png"))
-    v.exportDICOM(v.ds, args.out, optional_text=file_name, forPACS=True)
+    v.exportDICOM(v.ds, args.out, optional_text=file_name, forPACS=True,
+                  compress=args.compress_dicom)
     if args.archive:
         os.makedirs(args.archive, exist_ok=True)
         v.pickleMe(os.path.join(args.archive, f"{file_name}.pkl"))
@@ -339,6 +340,9 @@ def main(argv=None) -> int:
                    help="optional second pickle copy (the GUI's archive box)")
     a.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
+    a.add_argument("--compress-dicom", action="store_true",
+                   help="write the defect-overlay DICOMs RLE Lossless "
+                   "compressed (PS3.5 Annex G) instead of Explicit VR LE")
     a.add_argument("--denoise", type=float, default=None, metavar="THRESH",
                    help="Haar-wavelet denoise the xenon volume first")
     a.set_defaults(fn=_cmd_analyze)

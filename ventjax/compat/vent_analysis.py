@@ -257,7 +257,8 @@ class Vent_Analysis:
     def dicom_to_json(self, ds, json_path="DICOMjson.json", include_private=True):
         return rexport.dicom_to_json(ds, json_path, include_private)
 
-    def exportDICOM(self, ds=None, save_dir=".", optional_text="", forPACS=True):
+    def exportDICOM(self, ds=None, save_dir=".", optional_text="", forPACS=True,
+                    compress=False):
         if self.metadata["VDP"] == "":
             raise RuntimeError("run calculate_VDP() before exporting DICOMs")
         return rexport.export_dicom(
@@ -266,6 +267,8 @@ class Vent_Analysis:
             optional_text=optional_text, for_pacs=forPACS,
             vdp=self.metadata["VDP"],
             patient_name=str(self.metadata["PatientName"]),
+            transfer_syntax=(dcm.RLE_LOSSLESS if compress
+                             else dcm.EXPLICIT_VR_LE),
         )
 
     def screenShot(self, path="screenShotTest.png", normalize95=False):

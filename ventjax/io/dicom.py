@@ -192,6 +192,87 @@ def _rle_decode_frame(
     return out
 
 
+def _rle_encode_segment(data: bytes) -> bytes:
+    """PackBits RLE segment encode (DICOM PS3.5 Annex G.3.1), inverse of
+    _rle_decode_segment.
+
+    Built from numpy run-length boundaries rather than a per-byte scan: the
+    emit loop runs once per *run*, not per byte, so near-constant planes
+    (high byte planes of 16-bit data, background-dominated masks) encode in
+    a handful of iterations.  Runs of >= 2 identical bytes become replicate
+    packets (257-n, byte); isolated bytes merge into literal packets of up
+    to 128.  Output is padded to even length with the 0x80 no-op byte
+    (segments must start on even boundaries, PS3.5 G.3.1).
+    """
+    a = np.frombuffer(data, np.uint8)
+    out = bytearray()
+    if a.size:
+        change = np.flatnonzero(np.diff(a)) + 1
+        starts = np.concatenate(([0], change)).tolist()
+        ends = np.concatenate((change, [a.size])).tolist()
+        lit_from: Optional[int] = None
+
+        def flush_literal(upto: int) -> None:
+            nonlocal lit_from
+            if lit_from is None:
+                return
+            i = lit_from
+            while i < upto:
+                n = min(128, upto - i)
+                out.append(n - 1)
+                out.extend(data[i:i + n])
+                i += n
+            lit_from = None
+
+        for s, e in zip(starts, ends):
+            if e - s >= 2:
+                flush_literal(s)
+                i = s
+                while i < e:
+                    n = min(128, e - i)
+                    if n == 1:
+                        # a 128-chunked run can leave a 1-byte tail; fold it
+                        # into a fresh literal instead of a length-1 replicate
+                        lit_from = i
+                        break
+                    out += bytes((257 - n, data[i]))
+                    i += n
+            elif lit_from is None:
+                lit_from = s
+        flush_literal(a.size)
+    if len(out) % 2:
+        out.append(0x80)
+    return bytes(out)
+
+
+def _rle_encode_frame(frame: np.ndarray, bits: int) -> bytes:
+    """Encode one [rows, cols, samples] frame as an RLE fragment: 64-byte
+    header (segment count + offsets) followed by MSB-first byte-plane
+    segments (PS3.5 G.2).  Inverse of _rle_decode_frame."""
+    samples = frame.shape[2]
+    bpp = bits // 8
+    nseg = samples * bpp
+    if nseg > 15:
+        raise ValueError(
+            f"RLE cannot encode {samples} samples x {bpp} bytes = {nseg} "
+            "segments (the 64-byte header holds at most 15)")
+    # two's-complement low `bits` of each value, signed or not
+    vals = frame.astype(np.int64) & ((1 << bits) - 1)
+    flat = vals.reshape(-1, samples)
+    segs: List[bytes] = []
+    for s in range(samples):
+        for b in range(bpp):  # MSB first
+            plane = ((flat[:, s] >> (8 * (bpp - 1 - b))) & 0xFF).astype(np.uint8)
+            segs.append(_rle_encode_segment(plane.tobytes()))
+    header = [nseg]
+    off = 64
+    for seg in segs:
+        header.append(off)
+        off += len(seg)
+    header += [0] * (16 - len(header))
+    return struct.pack("<16I", *header) + b"".join(segs)
+
+
 def _encapsulated_frames(raw: "EncapsulatedPixelData", nframes: int) -> List[bytes]:
     """Group encapsulated fragments into one byte string per frame.
 
@@ -436,8 +517,9 @@ class Dataset:
         return arr.reshape(shape)
 
     # -- io ---------------------------------------------------------------------
-    def save_as(self, path: str) -> None:
-        write_file(path, self)
+    def save_as(self, path: str,
+                transfer_syntax: str = EXPLICIT_VR_LE) -> None:
+        write_file(path, self, transfer_syntax=transfer_syntax)
 
     def copy(self) -> "Dataset":
         new = Dataset()
@@ -746,29 +828,55 @@ def _encode_dataset(ds: Dataset, skip_meta: bool = True) -> bytes:
     return bytes(out)
 
 
-def write_file(path: str, ds: Dataset) -> None:
-    """Write a Part-10 Explicit VR LE file.
+def write_file(path: str, ds: Dataset,
+               transfer_syntax: str = EXPLICIT_VR_LE) -> None:
+    """Write a Part-10 file, Explicit VR LE (default) or RLE Lossless.
 
-    A dataset read from an RLE Lossless file carries EncapsulatedPixelData;
-    since this writer only emits native Explicit VR LE, such pixels are
-    transcoded (decoded) on write and the stale TransferSyntaxUID dropped.
+    Explicit VR LE: a dataset read from an encapsulated or big-endian file
+    is transcoded (decoded) on write and the stale TransferSyntaxUID dropped.
+
+    RLE Lossless: PixelData (decoded first if already encapsulated) is
+    re-encoded per PS3.5 Annex G — one fragment per frame, MSB-first byte
+    planes — behind a populated Basic Offset Table; the dataset body stays
+    Explicit VR LE as the standard requires.  The reference's pydicom stack
+    both reads and writes this syntax, so PACS exports can stay compressed.
     """
-    needs_transcode = (
-        isinstance(ds.get("PixelData"), EncapsulatedPixelData)
-        or (ds.get("TransferSyntaxUID") == EXPLICIT_VR_BE
-            and ds.get("PixelData") is not None)
-    )
-    if needs_transcode:
+    if transfer_syntax not in (EXPLICIT_VR_LE, RLE_LOSSLESS):
+        raise ValueError(
+            f"write_file supports Explicit VR LE and RLE Lossless, not "
+            f"{transfer_syntax}")
+    frags: Optional[List[bytes]] = None
+    if transfer_syntax == RLE_LOSSLESS:
+        if ds.get("PixelData") is None:
+            raise ValueError("RLE Lossless write requires PixelData")
         ds = ds.copy()
-        arr = ds.pixel_array
-        native = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
-        ds.add((0x7FE0, 0x0010), "OW", native.tobytes())
-        ds._elems.pop((0x0002, 0x0010), None)  # stale TransferSyntaxUID
+        rows, cols = int(ds.Rows), int(ds.Columns)
+        samples = int(ds.get("SamplesPerPixel", 1))
+        nframes = int(ds.get("NumberOfFrames", 1) or 1)
+        bits = int(ds.get("BitsAllocated", 16))
+        if bits not in (8, 16, 32):
+            raise ValueError(f"RLE encode: BitsAllocated {bits} not in 8/16/32")
+        frames = ds.pixel_array.reshape(nframes, rows, cols, samples)
+        frags = [_rle_encode_frame(frames[f], bits) for f in range(nframes)]
+        ds._elems.pop((0x7FE0, 0x0010), None)   # re-emitted encapsulated
+        ds._elems.pop((0x0002, 0x0010), None)   # meta carries the syntax
+    else:
+        needs_transcode = (
+            isinstance(ds.get("PixelData"), EncapsulatedPixelData)
+            or (ds.get("TransferSyntaxUID") == EXPLICIT_VR_BE
+                and ds.get("PixelData") is not None)
+        )
+        if needs_transcode:
+            ds = ds.copy()
+            arr = ds.pixel_array
+            native = arr.astype(arr.dtype.newbyteorder("<"), copy=False)
+            ds.add((0x7FE0, 0x0010), "OW", native.tobytes())
+            ds._elems.pop((0x0002, 0x0010), None)  # stale TransferSyntaxUID
     meta = Dataset()
     meta.add((0x0002, 0x0001), "OB", b"\x00\x01")
     meta.MediaStorageSOPClassUID = ds.get("SOPClassUID", MR_STORAGE)
     meta.MediaStorageSOPInstanceUID = ds.get("SOPInstanceUID", generate_uid())
-    meta.TransferSyntaxUID = EXPLICIT_VR_LE
+    meta.TransferSyntaxUID = transfer_syntax
     meta.ImplementationClassUID = _UID_ROOT + ".1"
     meta_bytes = _encode_dataset(meta, skip_meta=False)
     body = _encode_dataset(ds, skip_meta=True)
@@ -776,6 +884,22 @@ def write_file(path: str, ds: Dataset) -> None:
         f.write(b"\x00" * 128 + b"DICM")
         f.write(meta_bytes)
         f.write(body)
+        if frags is not None:
+            # undefined-length PixelData: Basic Offset Table item with the
+            # byte position of each frame's fragment item, then the
+            # fragments, then the sequence delimiter (PS3.5 A.4)
+            f.write(struct.pack("<HH", 0x7FE0, 0x0010) + b"OB\x00\x00")
+            f.write(struct.pack("<I", 0xFFFFFFFF))
+            bot, pos = [], 0
+            for frag in frags:
+                bot.append(pos)
+                pos += 8 + len(frag)
+            f.write(struct.pack("<HHI", 0xFFFE, 0xE000, 4 * len(bot)))
+            f.write(struct.pack(f"<{len(bot)}I", *bot))
+            for frag in frags:
+                f.write(struct.pack("<HHI", 0xFFFE, 0xE000, len(frag)))
+                f.write(frag)
+            f.write(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
 
 
 # ---------------------------------------------------------------------------

@@ -68,8 +68,16 @@ def export_dicom(
     for_pacs: bool = True,
     vdp: Optional[float] = None,
     patient_name: str = "",
+    transfer_syntax: str = dcm.EXPLICIT_VR_LE,
 ) -> str:
-    """Write the defect-overlay DICOM(s); returns the output path."""
+    """Write the defect-overlay DICOM(s); returns the output path.
+
+    transfer_syntax=dcm.RLE_LOSSLESS writes compressed overlays — real
+    scanner overlays are background-dominated, so RLE typically shrinks
+    them severalfold (pure-noise synthetic images can expand slightly;
+    RLE is lossless either way).  Any PACS that accepts the reference's
+    exports accepts this standard syntax too.
+    """
     rgb = _defect_rgb(n4, defect)
     ds = ds.copy()
     desc_vdp = np.round(vdp, 1) if vdp is not None else ""
@@ -90,7 +98,7 @@ def export_dicom(
         ds.SeriesInstanceUID = uid
         ds.add((0x7FE0, 0x0010), "OB", frames.tobytes())
         save_path = os.path.join(save_dir, f"{patient_name}_defectDICOM.dcm")
-        ds.save_as(save_path)
+        ds.save_as(save_path, transfer_syntax=transfer_syntax)
         return save_path
     ds.SeriesInstanceUID = dcm.generate_uid()
     dicom_path = os.path.join(save_dir, "defectDICOMS")
@@ -103,7 +111,8 @@ def export_dicom(
         ds.InstanceNumber = i + 1
         ds.SliceLocation = float(i)
         ds.SOPInstanceUID = dcm.generate_uid()
-        ds.save_as(os.path.join(dicom_path, f"dicom_{i}.dcm"))
+        ds.save_as(os.path.join(dicom_path, f"dicom_{i}.dcm"),
+                   transfer_syntax=transfer_syntax)
     return dicom_path
 
 
