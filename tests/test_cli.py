@@ -53,6 +53,18 @@ def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys
     m1 = json.load(open(os.path.join(out, "s1", "metrics.json")))
     assert m0["VDP"] == m1["VDP"]  # identical inputs
     assert os.path.exists(os.path.join(out, "cohort_metrics.csv"))
+    # parquet aggregation (written whenever pyarrow is importable): same
+    # rows as the CSV, with the error lane's string column intact
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        pass
+    else:
+        t = pq.read_table(os.path.join(out, "cohort_metrics.parquet"))
+        assert t.num_rows == 3
+        byid = {r["id"]: r for r in t.to_pylist()}
+        assert byid["s0"]["VDP"] == pytest.approx(m0["VDP"])
+        assert not byid["bad"]["valid"] or byid["bad"].get("error")
     # resume: done markers short-circuit
     rc = main(["cohort", "--manifest", mpath, "--out", out])
     assert rc == 0

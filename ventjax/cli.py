@@ -172,13 +172,31 @@ def _cmd_cohort(args) -> int:
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
                       "out": args.out}))
-    # cohort-level CSV aggregation
+    # cohort-level CSV (+ parquet when pyarrow exists) aggregation
     import csv
     keys = sorted({k for r in results for k in r})
     with open(os.path.join(args.out, "cohort_metrics.csv"), "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=keys)
         w.writeheader()
         w.writerows(results)
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+    except ImportError:
+        pass
+    else:
+        # one typed column per key; heterogenous cells (a metric on one
+        # subject, an error string on another) degrade that column to string
+        cols = {}
+        for k in keys:
+            vals = [r.get(k) for r in results]
+            if all(v is None or isinstance(v, (int, float, bool))
+                   for v in vals):
+                cols[k] = vals
+            else:
+                cols[k] = [None if v is None else str(v) for v in vals]
+        pq.write_table(pa.table(cols),
+                       os.path.join(args.out, "cohort_metrics.parquet"))
     return 0
 
 
