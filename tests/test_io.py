@@ -73,6 +73,56 @@ def test_nifti_roundtrip(tmp_path, rng):
     assert np.array_equal(affine, np.eye(4))
 
 
+def test_nifti_fuzz_corrupt_headers(tmp_path, rng):
+    """Mutated NIfTI headers must raise ValueError with a reason, never
+    crash in struct/frombuffer or return garbage-shaped arrays."""
+    import struct
+
+    arr = rng.random((6, 5, 3)).astype(np.float32)
+    p = str(tmp_path / "good.nii")
+    nifti.save(p, arr)
+    blob = bytearray(open(p, "rb").read())
+
+    def mutated(name, off, fmt, value):
+        b = bytearray(blob)
+        struct.pack_into(fmt, b, off, value)
+        pt = str(tmp_path / f"{name}.nii")
+        open(pt, "wb").write(bytes(b))
+        return pt
+
+    cases = [
+        mutated("sizeof", 0, "<i", 347),          # wrong sizeof_hdr
+        mutated("ndim0", 40, "<h", 0),            # dim[0] out of range
+        mutated("ndim9", 40, "<h", 9),
+        mutated("negaxis", 42, "<h", -6),         # negative axis length
+        mutated("dtype", 70, "<h", 99),           # unknown datatype code
+        mutated("voxoff", 108, "<f", 1e9),        # data range past EOF
+        mutated("voxneg", 108, "<f", 4.0),        # data inside the header
+    ]
+    # bad magic
+    b = bytearray(blob)
+    b[344:348] = b"zzz\x00"
+    pm = str(tmp_path / "magic.nii")
+    open(pm, "wb").write(bytes(b))
+    cases.append(pm)
+    # truncations: inside the header and inside the payload
+    for cut in (100, 348, len(blob) - 5):
+        pt = str(tmp_path / f"cut{cut}.nii")
+        open(pt, "wb").write(bytes(blob[:cut]))
+        cases.append(pt)
+
+    for path in cases:
+        with pytest.raises(ValueError):
+            nifti.load(path)
+
+
+def test_nifti_save_validates_shape(tmp_path, rng):
+    with pytest.raises(ValueError, match="7 dimensions"):
+        nifti.save(str(tmp_path / "d8.nii"), np.zeros((1,) * 8))
+    with pytest.raises(ValueError, match="int16"):
+        nifti.save(str(tmp_path / "big.nii"), np.zeros((40000, 1)))
+
+
 def test_twix_roundtrip_and_fields(tmp_path, rng):
     k = (rng.normal(size=(16, 12, 2))
          + 1j * rng.normal(size=(16, 12, 2))).astype(np.complex64)

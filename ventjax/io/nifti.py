@@ -28,6 +28,10 @@ def save(path: str, data: np.ndarray, affine: np.ndarray | None = None,
         affine = np.eye(4)
     dims = list(data.shape)
     ndim = len(dims)
+    if ndim > 7:
+        raise ValueError(f"NIfTI-1 supports at most 7 dimensions, got {ndim}")
+    if any(d > 32767 for d in dims):  # dim[] is int16 in the header
+        raise ValueError(f"axis length over the NIfTI-1 int16 limit: {dims}")
     dim = [ndim] + dims + [1] * (7 - ndim)
     pixdim = [0.0] * 8
     if vox is not None:
@@ -65,15 +69,31 @@ def load(path: str) -> Tuple[np.ndarray, np.ndarray]:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         buf = f.read()
+    if len(buf) < 348:
+        raise ValueError(
+            f"file is {len(buf)} bytes, shorter than the 348-byte "
+            "NIfTI-1 header")
     if struct.unpack_from("<i", buf, 0)[0] != 348:
         raise ValueError("not a little-endian NIfTI-1 file")
+    if buf[344:347] not in (b"n+1", b"ni1"):
+        raise ValueError(f"bad NIfTI-1 magic {buf[344:348]!r}")
     dim = struct.unpack_from("<8h", buf, 40)
     ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"NIfTI-1 dim[0]={ndim} outside 1..7")
     shape = dim[1:1 + ndim]
+    if any(d < 1 for d in shape):
+        raise ValueError(f"non-positive axis length in dim {shape}")
     code = struct.unpack_from("<h", buf, 70)[0]
+    if code not in _DTYPES:
+        raise ValueError(f"unsupported NIfTI datatype code {code}")
     vox_offset = int(struct.unpack_from("<f", buf, 108)[0])
     dtype = np.dtype(_DTYPES[code]).newbyteorder("<")
     n = int(np.prod(shape))
+    if vox_offset < 348 or vox_offset + n * dtype.itemsize > len(buf):
+        raise ValueError(
+            f"data range [{vox_offset}, {vox_offset + n * dtype.itemsize}) "
+            f"outside the {len(buf)}-byte file")
     data = np.frombuffer(buf, dtype=dtype, count=n, offset=vox_offset)
     data = data.reshape(shape, order="F")
     affine = np.eye(4)
