@@ -78,6 +78,41 @@ def test_ci_module_compat_surface():
                             (10, 10, 4)) == (2, 3, 4)
 
 
+def test_ci_module_calculate_cv_matches_map():
+    """calculate_CV (the reference's per-voxel entry point, CI.py:87-105)
+    must reproduce the engine-computed CI map voxel-for-voxel when driven
+    exactly the way the reference's thread pool drives it, including the
+    min(vox) mm scaling applied by the caller (CI.py:142)."""
+    vox = [1.5, 1.5, 10.0]
+    defect = np.zeros((24, 20, 4))
+    defect[4:9, 5:10, 1:3] = 1
+    defect[15:18, 2:5, 0] = 1  # second cluster touching a border
+    sphere_px = ci_module.getSpherePix(np.asarray(vox), 50)
+    def_list = ci_module.multi_which(defect)
+    def_vec = ci_module.px2vec(
+        def_list[:, 0], def_list[:, 1], def_list[:, 2], defect.shape)
+    built = np.zeros_like(defect, dtype=np.float64)
+    for k in range(def_list.shape[0]):
+        cv = ci_module.calculate_CV(defect.shape, def_list[k], def_vec,
+                                    sphere_px)
+        built[int(cv[0]), int(cv[1]), int(cv[2])] = cv[3] * np.min(vox)
+    want = ci_module.calculate_CI(defect, vox=vox, Rmax=50)
+    assert np.abs(built - want).max() < 2e-5
+
+    # a volume that contains the full Rmax sphere and is all defect: every
+    # prefix stays 100% defect, so the reference raises ValueError
+    # (CI.py:101-104) — the volume must be big enough that border aliasing
+    # never drains the fraction (sphere reach: +-50 in-plane, +-8 slices
+    # at vox [1.5,1.5,10])
+    solid_shape = (120, 120, 20)
+    center = np.array([60, 60, 10])
+    slist = np.argwhere(np.ones(solid_shape))
+    svec = ci_module.px2vec(slist[:, 0], slist[:, 1], slist[:, 2],
+                            solid_shape)
+    with pytest.raises(ValueError):
+        ci_module.calculate_CV(solid_shape, center, svec, sphere_px)
+
+
 def test_exports_and_pickle_roundtrip(analyzed, tmp_path):
     v, _ = analyzed
     out = str(tmp_path)

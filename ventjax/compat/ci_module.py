@@ -8,6 +8,7 @@ provided host-side for users who called them directly.
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import numpy as np
@@ -51,6 +52,45 @@ def getRadiiIndices(data):
     """Row indices where a new radius starts (CI.py:79-85)."""
     diffs = np.diff(data[:, 0]) > 0
     return np.where(diffs)[0] + 1
+
+
+def calculate_CV(defectArrayShape, activeVoxel, defVec, spherePx):
+    """Single-voxel CV (CI.py:87-105): the radius of the largest sphere
+    centered at activeVoxel whose defect fraction stays >= 0.5.
+
+    Returns np.append(activeVoxel, radius) in scaled-voxel units (the
+    caller applies the min(vox) mm scaling, CI.py:142), and raises
+    ValueError when even the Rmax sphere stays >= 50% defect — exactly the
+    reference's contract, including its intersect1d uniqueness semantics
+    (duplicate border-aliased indices count once in the numerator, raw
+    prefix row count in the denominator).
+
+    Implementation differs from the reference's per-radius intersect1d
+    loop: one first-occurrence scan gives the cumulative unique-defect
+    count at every prefix length, so all radii are tested in one pass.
+    """
+    activeVoxel = np.asarray(activeVoxel)
+    sphereRads = getRadiiIndices(spherePx)
+    sphereVec = px2vec(
+        spherePx[:, 1] + activeVoxel[0],
+        spherePx[:, 2] + activeVoxel[1],
+        spherePx[:, 3] + activeVoxel[2],
+        defectArrayShape,
+    )
+    uniq, first_idx = np.unique(sphereVec, return_index=True)
+    hits = first_idx[np.isin(uniq, defVec)]
+    # cum[L] = |unique(sphereVec[:L]) ∩ defVec|, via first occurrences
+    cum = np.zeros(len(sphereVec) + 1, np.int64)
+    np.add.at(cum, hits + 1, 1)
+    cum = np.cumsum(cum)
+    for ii in sphereRads:
+        if cum[ii] / ii < 0.5:
+            return np.append(activeVoxel, spherePx[ii - 1, 0])
+    logging.critical(f"--MAX RADIUS of {spherePx[-1, 0]} REACHED--")
+    raise ValueError(
+        f"sphere at {tuple(activeVoxel)} stayed >=50% defect out to Rmax "
+        f"({spherePx[-1, 0]}); the reference raises here too (CI.py:101-104)"
+    )
 
 
 def calculate_CI(
