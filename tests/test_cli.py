@@ -36,7 +36,8 @@ def test_cli_analyze_mepo_grammar(study_root, tmp_path, capsys):
 def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys):
     manifest = [
         {"id": "s0", "xenon": f"{study_root}/xenon.dcm",
-         "mask": f"{study_root}/mask"},
+         "mask": f"{study_root}/mask",
+         "proton": f"{study_root}/proton.dcm"},
         {"id": "s1", "xenon": f"{study_root}/xenon.dcm",
          "mask": f"{study_root}/mask"},
         {"id": "bad", "xenon": "/nonexistent.dcm", "mask": "/nope"},
@@ -52,6 +53,14 @@ def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys
     m0 = json.load(open(os.path.join(out, "s0", "metrics.json")))
     m1 = json.load(open(os.path.join(out, "s1", "metrics.json")))
     assert m0["VDP"] == m1["VDP"]  # identical inputs
+    # manifest "proton" feeds NIfTI channel 0 (reference channel order);
+    # subjects without one get the zero channel
+    from ventjax.io import dicom as dcm, nifti
+    _, proton = dcm.open_single_dicom(f"{study_root}/proton.dcm")
+    d0, _ = nifti.load(os.path.join(out, "s0", "s0_dataArray.nii"))
+    d1, _ = nifti.load(os.path.join(out, "s1", "s1_dataArray.nii"))
+    assert np.array_equal(d0[..., 0], proton.astype(np.float32))
+    assert not d1[..., 0].any()
     assert os.path.exists(os.path.join(out, "cohort_metrics.csv"))
     # parquet aggregation (written whenever pyarrow is importable): same
     # rows as the CSV, with the error lane's string column intact

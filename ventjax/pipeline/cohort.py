@@ -100,12 +100,20 @@ def _decode_mask_folder_fast(folder: str) -> Optional[np.ndarray]:
 
 
 def _decode_subject(entry: Dict) -> Tuple[Optional[np.ndarray], ...]:
-    """Host-side DICOM decode for one subject; None signals a decode error."""
+    """Host-side DICOM decode for one subject; None signals a decode error.
+
+    Returns (hp, mask, vox, ds, proton); proton is None unless the manifest
+    entry names one (it feeds the NIfTI channel-0 export, not the analysis —
+    same as the reference's optional proton_path, Vent_Analysis.py:148)."""
     try:
         ds, hp = dcm.open_single_dicom(entry["xenon"])
         mask = _decode_mask_folder_fast(entry["mask"])
         if mask is None:
             _, mask = dcm.open_dicom_folder(entry["mask"])
+        proton = None
+        if entry.get("proton"):
+            _, proton = dcm.open_single_dicom(entry["proton"])
+            proton = proton.astype(np.float32)
         vox = None
         for k in range(100):
             try:
@@ -117,9 +125,10 @@ def _decode_subject(entry: Dict) -> Tuple[Optional[np.ndarray], ...]:
         if vox is None and "PixelSpacing" in ds:
             vox = list(ds.PixelSpacing)
         vox = [float(vox[0]), float(vox[1]), float(ds.SpacingBetweenSlices)]
-        return hp.astype(np.float32), mask.astype(np.float32), tuple(vox), ds
+        return (hp.astype(np.float32), mask.astype(np.float32), tuple(vox),
+                ds, proton)
     except Exception:
-        return None, None, None, None
+        return None, None, None, None, None
 
 
 def _pow2_at_least(n: int, floor: int = 256) -> int:
@@ -492,13 +501,14 @@ def run_cohort(
 def _write_subject(out_dir, entry, decoded, pack, results, lock) -> None:
     """pack: host-side dict with n4 (f32), defect (uint8), ci_map (f32),
     metrics (StudyMetrics) for ONE subject."""
-    hp, mask, vox, ds = decoded
+    hp, mask, vox, ds, proton = decoded
     sid = entry["id"]
     sdir = os.path.join(out_dir, sid)
     os.makedirs(sdir, exist_ok=True)
     metrics = {"id": sid, **pack["metrics"].as_dict()}
     rexport.export_nifti(
         sdir, sid, hp, mask,
+        proton=proton,
         n4=np.asarray(pack["n4"]),
         defect=np.asarray(pack["defect"], dtype=np.float32),
         ci=np.asarray(pack["ci_map"]),
