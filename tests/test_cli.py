@@ -81,6 +81,30 @@ def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys
     assert report["valid"] == 2
 
 
+def test_cli_analyze_mask_edit(study_root, tmp_path, capsys):
+    """--mask-edit applies the morphology recipe before analysis; a grown
+    mask raises LungVolume vs the untouched run."""
+    out1 = str(tmp_path / "plain")
+    rc = main(["analyze", "--xenon", f"{study_root}/xenon.dcm",
+               "--mask", f"{study_root}/mask", "--out", out1,
+               "--no-ci", "--filename", "plain"])
+    assert rc == 0
+    plain = json.loads(capsys.readouterr().out)
+    out2 = str(tmp_path / "edited")
+    rc = main(["analyze", "--xenon", f"{study_root}/xenon.dcm",
+               "--mask", f"{study_root}/mask", "--out", out2,
+               "--no-ci", "--filename", "edited",
+               "--mask-edit", "dilate:1,fillholes"])
+    assert rc == 0
+    edited = json.loads(capsys.readouterr().out)
+    assert edited["LungVolume"] > plain["LungVolume"]
+
+    rc = main(["analyze", "--xenon", f"{study_root}/xenon.dcm",
+               "--mask", f"{study_root}/mask", "--out", out2,
+               "--mask-edit", "sharpen:1"])
+    assert rc == 2  # unknown op -> clean exit, not a traceback
+
+
 def test_cli_twix(tmp_path, rng, capsys):
     from ventjax.io.twix import write_synthetic_twix
     k = (rng.normal(size=(16, 12, 2))

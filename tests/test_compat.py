@@ -78,6 +78,29 @@ def test_ci_module_compat_surface():
                             (10, 10, 4)) == (2, 3, 4)
 
 
+def test_edit_mask_method(study):
+    """editMask (the reference's roadmap item, README.md:28) edits the mask
+    in place and recomputes LungVolume + border."""
+    root, ph = study
+    v = Vent_Analysis(
+        xenon_path=os.path.join(root, "xenon.dcm"),
+        mask_path=os.path.join(root, "mask"),
+    )
+    from ventjax.ops import morphology as mo
+
+    before_lv = v.metadata["LungVolume"]
+    want = np.asarray(mo.edit_mask(ph.mask.astype(np.float32), "dilate:1"))
+    got = v.editMask("dilate:1")
+    assert np.array_equal(got, want)
+    assert np.array_equal(v.mask, want)
+    assert v.metadata["LungVolume"] > before_lv
+    want_lv = np.sum(v.mask == 1) * np.prod(np.divide(v.vox, 10)) / 1000
+    assert v.metadata["LungVolume"] == pytest.approx(want_lv)
+    assert np.array_equal(v.mask_border, v.calculateBorder(v.mask))
+    v.calculate_VDP()  # analysis still runs on the edited mask
+    assert 0 <= float(v.metadata["VDP"]) <= 100
+
+
 def test_ci_module_calculate_cv_matches_map():
     """calculate_CV (the reference's per-voxel entry point, CI.py:87-105)
     must reproduce the engine-computed CI map voxel-for-voxel when driven

@@ -100,3 +100,94 @@ def test_vdp_kmeans_matches(n4_pair):
     assert float(v_dev) == pytest.approx(v_or, abs=0.05)
     frac_diff = np.mean(np.asarray(km_dev) != km_or)
     assert frac_diff < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Morphology (the reference's "edit mask" roadmap item, README.md:28)
+# ---------------------------------------------------------------------------
+
+def _scipy_slicewise(fn, vol, *a, **k):
+    import numpy as np
+    out = np.zeros_like(vol, dtype=bool)
+    for s in range(vol.shape[2]):
+        out[:, :, s] = fn(vol[:, :, s] > 0, *a, **k)
+    return out
+
+
+def test_morphology_matches_scipy(rng):
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    from ventjax.ops import morphology as mo
+
+    vol = (rng.random((24, 20, 4)) > 0.62).astype(np.float32)
+    vol[0, :3, 0] = 1  # border-touching region (erosion border semantics)
+
+    for iters in (1, 2):
+        got = np.asarray(mo.binary_dilate(vol, iters)) > 0
+        want = _scipy_slicewise(scipy_nd.binary_dilation, vol,
+                                iterations=iters)
+        assert np.array_equal(got, want), f"dilate x{iters}"
+
+        got = np.asarray(mo.binary_erode(vol, iters)) > 0
+        want = _scipy_slicewise(scipy_nd.binary_erosion, vol,
+                                iterations=iters)
+        assert np.array_equal(got, want), f"erode x{iters}"
+
+    got = np.asarray(mo.binary_open(vol, 1)) > 0
+    want = _scipy_slicewise(scipy_nd.binary_opening, vol)
+    assert np.array_equal(got, want)
+
+    got = np.asarray(mo.binary_close(vol, 1)) > 0
+    want = _scipy_slicewise(scipy_nd.binary_closing, vol)
+    assert np.array_equal(got, want)
+
+    # full-3D variants (cross / 6-neighbor element, scipy default)
+    got = np.asarray(mo.binary_dilate(vol, 1, slicewise=False)) > 0
+    assert np.array_equal(got, scipy_nd.binary_dilation(vol > 0))
+    got = np.asarray(mo.binary_erode(vol, 1, slicewise=False)) > 0
+    assert np.array_equal(got, scipy_nd.binary_erosion(vol > 0))
+
+    # 8-neighbor (connectivity 2) element
+    full = np.ones((3, 3), bool)
+    got = np.asarray(mo.binary_dilate(vol, 1, connectivity=2)) > 0
+    want = _scipy_slicewise(scipy_nd.binary_dilation, vol, structure=full)
+    assert np.array_equal(got, want)
+
+
+def test_fill_holes_matches_scipy(rng):
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    from ventjax.ops import morphology as mo
+
+    # rings with interior holes, plus border-open bays that must NOT fill
+    vol = np.zeros((32, 28, 3), np.float32)
+    vol[5:15, 5:15, :] = 1
+    vol[8:12, 8:12, :] = 0        # enclosed hole -> fills
+    vol[20:30, 10:20, 1] = 1
+    vol[24:27, 13:17, 1] = 0      # enclosed hole -> fills
+    vol[0:6, 20:24, 0] = 1
+    vol[0:3, 21:23, 0] = 0        # open to the border -> stays
+
+    got = np.asarray(mo.fill_holes(vol)) > 0
+    want = _scipy_slicewise(scipy_nd.binary_fill_holes, vol)
+    assert np.array_equal(got, want)
+
+    got = np.asarray(mo.fill_holes(vol, slicewise=False)) > 0
+    assert np.array_equal(got, scipy_nd.binary_fill_holes(vol > 0))
+
+
+def test_edit_mask_recipe(rng):
+    from ventjax.ops import morphology as mo
+
+    vol = (rng.random((24, 20, 4)) > 0.5).astype(np.float32)
+    step = np.asarray(mo.edit_mask(vol, "close:1, fillholes, erode:2"))
+    manual = mo.binary_close(vol, 1)
+    manual = mo.fill_holes(manual)
+    manual = np.asarray(mo.binary_erode(manual, 2))
+    assert np.array_equal(step, manual)
+    assert np.array_equal(np.asarray(mo.edit_mask(vol, "")), vol > 0)
+
+    with pytest.raises(ValueError, match="unknown mask-edit op"):
+        mo.edit_mask(vol, "sharpen:1")
+    with pytest.raises(ValueError, match="bad iteration count"):
+        mo.edit_mask(vol, "dilate:x")
+    with pytest.raises(ValueError, match="negative"):
+        mo.edit_mask(vol, "dilate:-1")

@@ -135,3 +135,33 @@ def test_pickle_roundtrip(tmp_path):
     back = rexport.load_pickle(p)
     assert "bad" not in back  # non-picklable skipped like the reference
     assert np.array_equal(back["a"], state["a"])
+
+
+def test_signal_histogram(tmp_path, rng):
+    """The "show histogram?" roadmap item (reference README.md:26): a valid
+    PNG whose x-normalization uses the exact floor-index percentile of the
+    linear-binning method."""
+    from ventjax.report.histogram import signal_histogram
+
+    sig = rng.gamma(4.0, 200.0, (48, 40, 6))
+    mask = np.zeros_like(sig)
+    mask[10:38, 8:32, 1:5] = 1
+    p = str(tmp_path / "hist.png")
+    out = signal_histogram(p, sig, mask, vdp_lb=7.3)
+    assert out == p and os.path.getsize(p) > 5000
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    with pytest.raises(ValueError, match="empty mask"):
+        signal_histogram(str(tmp_path / "e.png"), sig, np.zeros_like(sig))
+
+
+def test_compat_export_histogram(tmp_path):
+    from ventjax.compat import Vent_Analysis
+    from ventjax.io.phantom import make_phantom
+
+    ph = make_phantom(shape=(64, 64, 8), seed=4)
+    v = Vent_Analysis(xenon_array=ph.hp, mask_array=ph.mask)
+    v.vox = [1.5, 1.5, 10.0]
+    v.calculate_VDP()
+    p = v.exportHistogram(str(tmp_path / "h.png"))
+    assert os.path.getsize(p) > 5000

@@ -92,6 +92,15 @@ def _cmd_analyze(args) -> int:
     ):
         if flag is not None:
             v.metadata[key] = flag
+    if args.mask_edit:
+        # The reference's "edit mask" roadmap item (README.md:28) as a
+        # scriptable recipe, applied to hand-drawn and --auto-mask masks
+        # alike before any analysis.
+        try:
+            v.editMask(args.mask_edit)
+        except ValueError as e:
+            print(f"error: --mask-edit {e}", file=sys.stderr)
+            return 2
     if args.denoise is not None:
         # The reference's roadmap "Denoise Option" (README.md:29), prototyped
         # with Haar wavelets in its playground script.
@@ -129,6 +138,8 @@ def _cmd_analyze(args) -> int:
     v.dicom_to_json(v.ds, os.path.join(args.out, f"{file_name}.json"))
     v.pickleMe(os.path.join(args.out, f"{file_name}.pkl"))
     v.screenShot(os.path.join(args.out, f"{file_name}.png"))
+    if args.histogram:
+        v.exportHistogram(os.path.join(args.out, f"{file_name}_hist.png"))
     v.exportDICOM(v.ds, args.out, optional_text=file_name, forPACS=True,
                   compress=args.compress_dicom)
     if args.archive:
@@ -358,6 +369,13 @@ def main(argv=None) -> int:
                    help="optional second pickle copy (the GUI's archive box)")
     a.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
+    a.add_argument("--histogram", action="store_true",
+                   help="also export the masked-signal histogram with the "
+                   "linear-binning edges ({file}_hist.png)")
+    a.add_argument("--mask-edit", default=None, metavar="RECIPE",
+                   help="morphology recipe applied to the mask before "
+                   "analysis, e.g. 'close:1,fillholes,erode:1' (ops: "
+                   "dilate/erode/open/close[:iters], fillholes)")
     a.add_argument("--compress-dicom", action="store_true",
                    help="write the defect-overlay DICOMs RLE Lossless "
                    "compressed (PS3.5 Annex G) instead of Explicit VR LE")

@@ -150,6 +150,44 @@ class Vent_Analysis:
                 np.sum(self.mask == 1) * np.prod(np.divide(self.vox, 10)) / 1000
             )
 
+    def exportHistogram(self, path="signalHistogram.png"):
+        """Masked-signal histogram with the linear-binning edges (the
+        reference's "show histogram?" roadmap item, README.md:26).  Uses
+        the N4-corrected signal once calculate_VDP has run, the raw signal
+        otherwise."""
+        from ventjax.report.histogram import signal_histogram
+
+        sig = self.N4HPvent if not isinstance(self.N4HPvent, str) \
+            else self.HPvent
+        vdp_lb = self.metadata.get("VDP_lb")
+        return signal_histogram(
+            path, np.asarray(sig, np.float64), np.asarray(self.mask),
+            edges=self.config.lb_edges, percentile=self.config.lb_percentile,
+            title=f"{self.metadata['PatientName']} masked signal",
+            vdp_lb=vdp_lb if vdp_lb != "" else None,
+        )
+
+    def editMask(self, ops: str, slicewise: bool = True):
+        """Apply a morphology recipe to the mask (the reference's "edit
+        mask" roadmap item, README.md:28), e.g. "close:1,fillholes,erode:1".
+
+        Recomputes the mask border and LungVolume, and invalidates any
+        previously computed analysis (rerun calculate_VDP / calculate_CI —
+        same as loading a new mask would)."""
+        from ventjax.ops.morphology import edit_mask
+
+        self.mask = np.asarray(
+            edit_mask(jnp.asarray(np.asarray(self.mask, np.float32)), ops,
+                      slicewise=slicewise),
+            np.float64)
+        self.mask_border = self.calculateBorder(self.mask)
+        if getattr(self, "vox", None) is not None:
+            self.metadata["LungVolume"] = (
+                np.sum(self.mask == 1)
+                * np.prod(np.divide(self.vox, 10)) / 1000
+            )
+        return self.mask
+
     # ---- L2 utilities (Vent_Analysis.py:225-237, 430-456) ------------------
     def calculateBorder(self, A):
         return np.asarray(gradient_border(jnp.asarray(np.asarray(A, np.float32))))
