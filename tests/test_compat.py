@@ -40,6 +40,18 @@ def test_constructor_and_header(analyzed):
     assert str(v.metadata["PatientName"]) == "VENTJAX^PHANTOM"
     want_lv = np.sum(ph.mask == 1) * np.prod(np.divide(v.vox, 10)) / 1000
     assert v.metadata["LungVolume"] == pytest.approx(want_lv)
+    # roadmap "more header info into metadata" (reference README.md:25):
+    # acquisition context lands in metadata when the header carries it
+    assert v.metadata["Manufacturer"] == "SIEMENS"
+    assert v.metadata["ProtocolName"] == "fl_gre_vent"
+    assert float(v.metadata["RepetitionTime"]) == 15.0
+    assert float(v.metadata["FlipAngle"]) == 10.0
+    # ...and stays absent (not '') when the header lacks it — only the 23
+    # reference keys get the ''-on-missing behavior
+    vv = Vent_Analysis(xenon_array=np.zeros((4, 4, 2)),
+                       mask_array=np.ones((4, 4, 2)))
+    assert "Manufacturer" not in vv.metadata
+    assert vv.metadata["PatientName"] == ""
 
 
 def test_calculate_vdp_fills_state(analyzed):
@@ -180,6 +192,10 @@ def test_process_raw_twix(tmp_path, rng):
     img = v.process_RAW(p)
     assert img.shape == (12, 16, 2)
     assert v.metadata["TWIXprotocolName"] == "vent_gre"
+    # roadmap "more header info into metadata" (reference README.md:25)
+    assert v.metadata["TWIXRepetitionTime"] == 15.0
+    assert v.metadata["TWIXFlipAngle"] == 10.0
+    assert v.metadata["TWIXSequenceFileName"] == "%SiemensSeq%\\fl_gre"
     want = np.transpose(
         np.fft.fftshift(np.fft.fft2(np.fft.fftshift(
             k.astype(np.complex128), axes=(0, 1)), axes=(0, 1)), axes=(0, 1)),

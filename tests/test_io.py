@@ -133,6 +133,25 @@ def test_twix_roundtrip_and_fields(tmp_path, rng):
     assert tw.protocol_name == "vent_gre"
     assert tw.scan_datetime == "2024-03-01 10:15:00"
     assert np.allclose(tw.kspace(), k)
+    # roadmap "more header info" (reference README.md:25): acquisition
+    # params from the ASCCONV/XProtocol block, TR/TE converted us -> ms
+    hp = tw.header_params
+    assert hp["SequenceFileName"] == "%SiemensSeq%\\fl_gre"
+    assert hp["SoftwareVersions"] == "syngo MR E11"
+    assert hp["RepetitionTime"] == 15.0 and hp["EchoTime"] == 0.675
+    assert hp["FlipAngle"] == 10.0
+    assert abs(hp["NominalB0"] - 2.89362) < 1e-9
+    assert hp["Frequency"] == 34091550
+
+
+def test_twix_header_params_override_and_absent(tmp_path, rng):
+    k = np.ones((4, 4, 1), np.complex64)
+    p = str(tmp_path / "raw.dat")
+    write_synthetic_twix(p, k, header_params={"TR_us": 4500, "FlipAngle": 7})
+    hp = read_twix(p).header_params
+    assert hp["RepetitionTime"] == 4.5 and hp["FlipAngle"] == 7.0
+    from ventjax.io.twix import parse_header_params
+    assert parse_header_params("no params here") == {}
 
 
 def test_twix_vb_roundtrip_and_fields(tmp_path, rng):
@@ -150,6 +169,7 @@ def test_twix_vb_roundtrip_and_fields(tmp_path, rng):
     assert tw.scan_datetime == "2013-06-01 09:30:00"
     assert tw.n_channels == 1
     assert np.allclose(tw.kspace(), k)
+    assert tw.header_params["RepetitionTime"] == 15.0  # VB header block too
 
 
 def test_twix_vb_multichannel(tmp_path, rng):

@@ -279,6 +279,7 @@ def _cmd_twix(args) -> int:
     print(json.dumps({
         "protocol": tw.protocol_name,
         "scan_datetime": tw.scan_datetime,
+        "header_params": tw.header_params,
         "kspace_shape": kshape,
         "channels": tw.n_channels,
         "coil_combine": combine,

@@ -115,6 +115,17 @@ class Vent_Analysis:
                      "PatientSize", "PatientWeight", "PatientSex",
                      "StudyDate", "StudyTime", "SeriesTime"]:
             self.metadata[elem] = self.ds.get(elem, "")
+        # The reference's "get more header info into metadata" roadmap item
+        # (README.md:25): acquisition/scanner context, added only when the
+        # header carries it (the 23 core keys above keep their ''-on-missing
+        # reference behavior).
+        for elem in ["Modality", "SeriesDescription", "Manufacturer",
+                     "ManufacturerModelName", "ProtocolName",
+                     "RepetitionTime", "EchoTime", "FlipAngle",
+                     "MagneticFieldStrength", "SliceThickness",
+                     "StudyInstanceUID", "SeriesInstanceUID"]:
+            if elem in self.ds:
+                self.metadata[elem] = self.ds.get(elem)
 
         self.vox = None
         for k in range(100):
@@ -333,6 +344,12 @@ class Vent_Analysis:
         self.raw_twix = twix_io.read_twix(filepath)
         self.metadata["TWIXscanDateTime"] = self.raw_twix.scan_datetime
         self.metadata["TWIXprotocolName"] = self.raw_twix.protocol_name
+        # Roadmap "get more header info (both TWIX and DICOM) into metadata"
+        # (reference README.md:25): acquisition parameters mined from the
+        # measurement header, TWIX-prefixed to keep them distinct from the
+        # DICOM keys of the same name.
+        for key, val in self.raw_twix.header_params.items():
+            self.metadata[f"TWIX{key}"] = val
         self.raw_K = self.raw_twix.kspace()
         self.raw_HPvent = recon_2d_multislice(self.raw_K)
         return self.raw_HPvent

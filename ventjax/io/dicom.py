@@ -60,8 +60,15 @@ _DICT: Dict[Tuple[int, int], Tuple[str, str]] = {
     (0x0010, 0x1010): ("AS", "PatientAge"),
     (0x0010, 0x1020): ("DS", "PatientSize"),
     (0x0010, 0x1030): ("DS", "PatientWeight"),
+    (0x0008, 0x0070): ("LO", "Manufacturer"),
+    (0x0008, 0x1090): ("LO", "ManufacturerModelName"),
     (0x0018, 0x0050): ("DS", "SliceThickness"),
+    (0x0018, 0x0080): ("DS", "RepetitionTime"),
+    (0x0018, 0x0081): ("DS", "EchoTime"),
+    (0x0018, 0x0087): ("DS", "MagneticFieldStrength"),
     (0x0018, 0x0088): ("DS", "SpacingBetweenSlices"),
+    (0x0018, 0x1030): ("LO", "ProtocolName"),
+    (0x0018, 0x1314): ("DS", "FlipAngle"),
     (0x0020, 0x000D): ("UI", "StudyInstanceUID"),
     (0x0020, 0x000E): ("UI", "SeriesInstanceUID"),
     (0x0020, 0x0011): ("IS", "SeriesNumber"),
@@ -463,9 +470,19 @@ class Dataset:
         bits = int(self.get("BitsAllocated", 16))
         signed = int(self.get("PixelRepresentation", 0)) == 1
         samples = int(self.get("SamplesPerPixel", 1))
+        # ValueError, not AttributeError: an AttributeError escaping a
+        # property is masked by __getattr__ into "AttributeError:
+        # pixel_array", losing the actual cause.
+        missing = [k for k in ("Rows", "Columns") if k not in self]
+        if missing:
+            raise ValueError(
+                f"cannot decode PixelData: header element(s) "
+                f"{', '.join(missing)} absent")
         rows = int(self.Rows)
         cols = int(self.Columns)
         nframes = int(self.get("NumberOfFrames", 1) or 1)
+        if bits not in (8, 16, 32):
+            raise ValueError(f"unsupported BitsAllocated {bits}")
         dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[bits]
         if signed:
             dtype = {8: np.int8, 16: np.int16, 32: np.int32}[bits]

@@ -33,6 +33,17 @@ def _base_dataset(name: str, study_date: str = "20240301") -> dcm.Dataset:
     ds.StudyDate = study_date
     ds.StudyTime = "101500"
     ds.SeriesTime = "102000"
+    # Acquisition/scanner context — the reference roadmap's "more header
+    # info into metadata" (README.md:25); pullDICOMHeader picks these up
+    # when present.
+    ds.Manufacturer = "SIEMENS"
+    ds.ManufacturerModelName = "Prisma"
+    ds.ProtocolName = "fl_gre_vent"
+    ds.SeriesDescription = "129Xe ventilation"
+    ds.RepetitionTime = 15.0
+    ds.EchoTime = 0.675
+    ds.FlipAngle = 10.0
+    ds.MagneticFieldStrength = 2.89362
     return ds
 
 

@@ -40,7 +40,7 @@ from __future__ import annotations
 import dataclasses
 import re
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -116,6 +116,13 @@ class TwixMeasurement:
     def n_channels(self) -> int:
         return len({s.channel for s in self.scans}) if self.scans else 0
 
+    @property
+    def header_params(self) -> Dict[str, Any]:
+        """Acquisition parameters mined from the measurement header text —
+        the reference roadmap's "get more header info (both TWIX and DICOM)
+        into metadata" (reference README.md:25).  See parse_header_params."""
+        return parse_header_params(self.header_text)
+
     def kspace(self) -> np.ndarray:
         """[columns, lines, slices] complex128 (squeezed single-channel),
         matching the reference's raw_K usage (Vent_Analysis.py:536-539).
@@ -158,6 +165,80 @@ def _parse_protocol(text: str) -> Tuple[str, str]:
     if m:
         stamp = m.group(1).strip()
     return proto, stamp
+
+
+def parse_header_params(text: str) -> Dict[str, Any]:
+    """Acquisition parameters beyond protocol name / timestamp, mined from
+    the measurement header the way mapvbvd's hdr.Meas / hdr.Dicom sections
+    surface them (the reference only reads two fields,
+    Vent_Analysis.py:533-534; its README.md:25 roadmap asks for more header
+    info in metadata — this is that item for the TWIX side).
+
+    Handles both ASCCONV-style ``name = value`` lines (``alTR[0] = 15000``)
+    and XProtocol ``<ParamString."Name"> { "value" }`` entries.  TR/TE are
+    converted from the header's microseconds to milliseconds so they are
+    directly comparable to the DICOM RepetitionTime/EchoTime metadata keys.
+    Missing fields are simply absent from the result.
+    """
+    out: Dict[str, Any] = {}
+
+    def quoted(name: str, key: str) -> None:
+        m = re.search(name + r'\s*=\s*"+([^"\n]*)"+', text)
+        if m is None:
+            m = re.search(
+                r'<ParamString\."' + name.lstrip("t") + r'">\s*\{\s*"([^"]*)"',
+                text)
+        if m and m.group(1):
+            out[key] = m.group(1)
+
+    def number(name: str, key: str, scale: float = 1.0) -> None:
+        m = re.search(name + r'\s*=\s*([-+0-9.eE]+)', text)
+        if m:
+            try:
+                out[key] = float(m.group(1)) * scale
+            except ValueError:
+                pass
+
+    quoted(r'tSequenceFileName', "SequenceFileName")
+    quoted(r'SoftwareVersions', "SoftwareVersions")
+    number(r'alTR\[0\]', "RepetitionTime", 1e-3)   # us -> ms (DICOM units)
+    number(r'alTE\[0\]', "EchoTime", 1e-3)         # us -> ms
+    number(r'adFlipAngleDegree\[0\]', "FlipAngle")
+    number(r'flNominalB0', "NominalB0")            # tesla
+    number(r'lFrequency', "Frequency")             # Hz (129Xe @3T ~34.09MHz)
+    return out
+
+
+def _synthetic_header_text(protocol_name: str, scan_datetime: str,
+                           header_params: Optional[Dict[str, Any]] = None,
+                           ) -> str:
+    """Header text for the synthetic writers: protocol + timestamp plus a
+    realistic ASCCONV/XProtocol parameter block so round-trip tests exercise
+    parse_header_params on every synthetic file."""
+    p: Dict[str, Any] = {
+        "SequenceFileName": "%SiemensSeq%\\fl_gre",
+        "SoftwareVersions": "syngo MR E11",
+        "TR_us": 15000,
+        "TE_us": 675,
+        "FlipAngle": 10.0,
+        "NominalB0": 2.89362,
+        "Frequency": 34091550,
+    }
+    if header_params:
+        p.update(header_params)
+    return (
+        f'<XProtocol> tProtocolName = "{protocol_name}"\n'
+        f'PrepareTimestamp = "{scan_datetime}"\n'
+        f'<ParamString."SoftwareVersions"> {{ "{p["SoftwareVersions"]}" }}\n'
+        "### ASCCONV BEGIN ###\n"
+        f'tSequenceFileName = "{p["SequenceFileName"]}"\n'
+        f'alTR[0] = {p["TR_us"]}\n'
+        f'alTE[0] = {p["TE_us"]}\n'
+        f'adFlipAngleDegree[0] = {p["FlipAngle"]}\n'
+        f'sProtConsistencyInfo.flNominalB0 = {p["NominalB0"]}\n'
+        f'sTXSPEC.asNucleusInfo[0].lFrequency = {p["Frequency"]}\n'
+        "### ASCCONV END ###\n"
+    )
 
 
 def _read_twix_vb(buf: bytes) -> TwixMeasurement:
@@ -284,6 +365,7 @@ def write_synthetic_twix(
     protocol_name: str = "fl_gre_vent",
     scan_datetime: str = "2024-03-01 10:15:00",
     service_scans: bool = False,
+    header_params: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Write a VD/VE-layout .dat file for tests (one measurement; single- or
     multi-channel depending on kspace rank).
@@ -297,10 +379,8 @@ def write_synthetic_twix(
         kspace = kspace[None]
     n_cha, n_col, n_lin, n_sli = kspace.shape
     protocol_name = protocol_name[:64]  # raid entry field is 64 bytes
-    header_text = (
-        f'<XProtocol> tProtocolName = "{protocol_name}"\n'
-        f'PrepareTimestamp = "{scan_datetime}"\n'
-    )
+    header_text = _synthetic_header_text(protocol_name, scan_datetime,
+                                         header_params)
     hdr = header_text.encode("latin-1")
     body = bytearray()
     body += struct.pack("<I", 4 + len(hdr)) + hdr
@@ -374,6 +454,7 @@ def write_synthetic_twix_vb(
     protocol_name: str = "fl_gre_vent",
     scan_datetime: str = "2013-06-01 09:30:00",
     service_scans: bool = False,
+    header_params: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Write a VB-era-layout .dat file for tests: u32 header length +
     protocol text, then one 128-byte sMDH + samples per (channel, line,
@@ -387,10 +468,8 @@ def write_synthetic_twix_vb(
     if kspace.ndim == 3:
         kspace = kspace[None]
     n_cha, n_col, n_lin, n_sli = kspace.shape
-    header_text = (
-        f'<XProtocol> tProtocolName = "{protocol_name}"\n'
-        f'PrepareTimestamp = "{scan_datetime}"\n'
-    )
+    header_text = _synthetic_header_text(protocol_name, scan_datetime,
+                                         header_params)
     hdr = header_text.encode("latin-1")
     out = bytearray()
     out += struct.pack("<I", 4 + len(hdr)) + hdr
