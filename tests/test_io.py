@@ -152,6 +152,10 @@ def test_twix_header_params_override_and_absent(tmp_path, rng):
     assert hp["RepetitionTime"] == 4.5 and hp["FlipAngle"] == 7.0
     from ventjax.io.twix import parse_header_params
     assert parse_header_params("no params here") == {}
+    # empty ASCCONV value falls back to the populated XProtocol entry
+    both = ('tSequenceFileName = ""\n'
+            '<ParamString."SequenceFileName"> { "%SiemensSeq%\\\\gre" }\n')
+    assert parse_header_params(both)["SequenceFileName"] == "%SiemensSeq%\\\\gre"
 
 
 def test_twix_vb_roundtrip_and_fields(tmp_path, rng):

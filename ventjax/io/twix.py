@@ -183,11 +183,12 @@ def parse_header_params(text: str) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
 
     def quoted(name: str, key: str) -> None:
-        m = re.search(name + r'\s*=\s*"+([^"\n]*)"+', text)
-        if m is None:
+        m = re.search(re.escape(name) + r'\s*=\s*"+([^"\n]*)"+', text)
+        if m is None or not m.group(1):
+            # XProtocol spelling drops the Siemens 't' type prefix
             m = re.search(
-                r'<ParamString\."' + name.lstrip("t") + r'">\s*\{\s*"([^"]*)"',
-                text)
+                r'<ParamString\."' + re.escape(name.removeprefix("t"))
+                + r'">\s*\{\s*"([^"]*)"', text)
         if m and m.group(1):
             out[key] = m.group(1)
 
