@@ -28,6 +28,12 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument(
+        "--windows", type=int, default=3,
+        help="timed windows; the best is reported (guards the recorded "
+        "number against transient host load / tunnel jitter, which slow "
+        "dispatch, not the device)",
+    )
     p.add_argument("--shape", type=int, nargs=3, default=(128, 128, 16))
     p.add_argument(
         "--max-defect", type=int, default=0,
@@ -108,13 +114,17 @@ def main() -> None:
     # Chained dispatches, one sync at the end: measures steady-state device
     # throughput; a per-iteration host sync costs ~30-45 ms on this tunnel
     # and is not part of the pipeline (the cohort driver reads results off
-    # the critical path).
-    t0 = time.perf_counter()
-    outs = [fn(hp, mask) for _ in range(args.iters)]
-    np.asarray(outs[-1].metrics.vdp)
-    dt = time.perf_counter() - t0
+    # the critical path).  Best of --windows windows: a loaded host or a
+    # jittery tunnel slows *dispatch*, not the device, and would otherwise
+    # understate a single window.
+    best_dt = float("inf")
+    for _ in range(max(1, args.windows)):
+        t0 = time.perf_counter()
+        outs = [fn(hp, mask) for _ in range(args.iters)]
+        np.asarray(outs[-1].metrics.vdp)
+        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    vols_per_sec = args.batch * args.iters / dt
+    vols_per_sec = args.batch * args.iters / best_dt
     print(
         json.dumps(
             {
