@@ -130,7 +130,7 @@ def vdp_linear_binning(
 
 def vdp_kmeans(
     n4: np.ndarray, mask: np.ndarray, k: int = 4, iters: int = 30,
-    defect_clusters: int = 1,
+    defect_clusters: int = 1, init_centers=None,
 ) -> Tuple[np.ndarray, float]:
     """K-means VDP [Kirby 2012] — a stub in the reference
     (Vent_Analysis.py:259-261, metadata key 'VDP_km' at line 90), implemented
@@ -139,15 +139,26 @@ def vdp_kmeans(
     defect.  This NumPy version is the oracle for ventjax.ops.kmeans.
     """
     vals = np.asarray(n4[mask > 0], dtype=np.float64)
-    # Deterministic init: evenly spaced quantiles of the masked intensities.
-    qs = (np.arange(k) + 0.5) / k
-    centers = np.quantile(vals, qs)
+    if init_centers is not None:
+        # Override for loop-equivalence tests: the device op quantizes its
+        # quantile init through a 32-bit bitspace selection, so comparing
+        # loops requires starting both from the same centers.
+        centers = np.asarray(init_centers, dtype=np.float64).copy()
+    else:
+        # Deterministic init: evenly spaced quantiles of the masked values.
+        qs = (np.arange(k) + 0.5) / k
+        centers = np.quantile(vals, qs)
     for _ in range(iters):
         assign = np.argmin(np.abs(vals[:, None] - centers[None, :]), axis=1)
         for j in range(k):
             sel = assign == j
             if sel.any():
                 centers[j] = vals[sel].mean()
+    # Labels come from the FINAL centers (one last E-step) — standard
+    # Lloyd's output semantics, and what the device op computes; without
+    # this, an unconverged run (iters exhausted first) would label with
+    # stale pre-update centers.
+    assign = np.argmin(np.abs(vals[:, None] - centers[None, :]), axis=1)
     order = np.argsort(centers)
     rank = np.empty(k, dtype=int)
     rank[order] = np.arange(k)
