@@ -299,8 +299,10 @@ def calculate_ci_pairwise(
     if use_pallas is None:
         # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
         # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
-        # at small K where kernel launch/tiling overhead dominates.
-        use_pallas = jax.default_backend() not in ("cpu",) and K >= 2048
+        # at small K where kernel launch/tiling overhead dominates.  TPU
+        # only — the Mosaic kernels do not lower on other accelerators
+        # (same gate as n4.py auto_ok).
+        use_pallas = jax.default_backend() == "tpu" and K >= 2048
     if use_pallas and (K % min(128, K) or K % min(512, K)):
         use_pallas = False  # non-tileable pad; the XLA head handles any K
     if use_pallas:
