@@ -99,15 +99,20 @@ def test_truncated_and_mutated_files_fail_cleanly(tmp_path):
 
     rng = np.random.default_rng(123)
     bad = tmp_path / "bad.dcm"
-    for trial in range(200):
+    for trial in range(300):
         data = bytearray(good)
-        if trial % 2 == 0:
+        mode = trial % 3
+        if mode == 0:
             cut = int(rng.integers(1, len(data)))
             data = data[:cut]                      # truncation
-        else:
+        elif mode == 1:
             for _ in range(int(rng.integers(1, 8))):
                 data[int(rng.integers(0, len(data)))] = int(
                     rng.integers(0, 256))          # byte flips
+        else:                                      # splice a chunk in
+            a, b = sorted(rng.integers(0, len(data), 2))
+            pos = int(rng.integers(0, len(data)))
+            data = data[:pos] + data[a:b] + data[pos:]
         bad.write_bytes(bytes(data))
         try:
             ds = dcm.read_file(str(bad))
@@ -121,6 +126,22 @@ def test_truncated_and_mutated_files_fail_cleanly(tmp_path):
         except (ValueError, struct.error, KeyError, EOFError, TypeError,
                 MemoryError, OverflowError):
             pass  # clean rejection
+
+
+def test_backslash_in_transfer_syntax_rejected_cleanly(tmp_path):
+    """A corrupted TransferSyntaxUID with an embedded backslash parses as a
+    MultiValue; read_file must raise ValueError, not crash on .startswith
+    (found by the 4000-trial splice-fuzz campaign)."""
+    from ventjax.io.synthetic import write_multiframe
+
+    path = tmp_path / "ts.dcm"
+    write_multiframe(str(path), np.full((8, 8, 2), 100.0), (1.5, 1.5, 10.0))
+    data = path.read_bytes().replace(b"1.2.840.10008.1.2.1",
+                                     b"1.2\\840.10008.1.2.1", 1)
+    bad = tmp_path / "bad_ts.dcm"
+    bad.write_bytes(data)
+    with pytest.raises(ValueError, match="TransferSyntaxUID"):
+        dcm.read_file(str(bad))
 
 
 def test_twix_multichannel_rss():

@@ -742,6 +742,10 @@ def read_file(path: str) -> Dataset:
         if meta_end is not None and r.pos < meta_end:
             r.pos = meta_end  # skip meta bytes the loop could not parse
         ts = meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
+        if not isinstance(ts, str):
+            # a corrupted UI value can parse as a MultiValue (embedded
+            # backslash) or a number — reject, don't crash on .startswith
+            raise ValueError(f"malformed TransferSyntaxUID {ts!r}")
         # Every encapsulated syntax (1.2.840.10008.1.2.4.* JPEG family, .5
         # RLE) carries an Explicit VR LE dataset, so header-only reads work
         # for all of them — like pydicom's dcmread; pixel_array raises on
