@@ -66,6 +66,31 @@ def main() -> int:
             print(f"seed {seed} {tag}: n_def={n_def} support={support} "
                   f"max|d|={err:.2e} {'OK' if good else 'FAIL'}",
                   flush=True)
+
+    # Random clinical geometries (same draw as tests/test_ci_geometry_sweep)
+    # ON CHIP: the geometry-dependent f32 radius tables and alias combos
+    # must survive real-hardware arithmetic, not just the CPU backend.
+    n_geo = int(sys.argv[sys.argv.index("--geometries") + 1]) \
+        if "--geometries" in sys.argv else 0
+    for gseed in range(n_geo):
+        rng = np.random.default_rng(1000 + gseed)
+        vox = (round(float(rng.uniform(0.8, 4.0)), 3),
+               round(float(rng.uniform(0.8, 4.0)), 3),
+               round(float(rng.uniform(5.0, 15.0)), 3))
+        shape = (16, 16, 4)
+        defect = (rng.random(shape) < 0.04).astype(np.float32)
+        if defect.sum() == 0:
+            defect[8, 8, 2] = 1.0
+        g = build_ci_pairwise_geometry(vox, shape, 12, "wrap")
+        fn = jax.jit(lambda d, gg=g: calculate_ci_pairwise(d, gg, 512))
+        ci, _, ovf = fn(jnp.asarray(defect))
+        ci = np.asarray(ci)
+        want = calculate_ci_oracle(defect, vox=vox, rmax=12, saturate=True)
+        err = float(np.abs(ci - want).max())
+        good = err < 2e-5 and not bool(np.asarray(ovf))
+        ok &= good
+        print(f"geometry {gseed} vox={vox}: max|d|={err:.2e} "
+              f"{'OK' if good else 'FAIL'}", flush=True)
     return 0 if ok else 1
 
 
