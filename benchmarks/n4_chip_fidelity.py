@@ -55,6 +55,38 @@ def main() -> int:
             ok &= rel < ENVELOPE
             print(f"seed {seed} {tag}: rel = {rel:.2e}  {status}",
                   flush=True)
+
+    # Random NON-DEFAULT parameter sets ON CHIP (--params N): the CPU
+    # param sweep (tests/test_n4_param_sweep.py) passes; prove the same
+    # parameter surface on real hardware (oversized params auto-fall back
+    # from the Pallas fit to the XLA fit — both paths end up covered).
+    n_par = int(sys.argv[sys.argv.index("--params") + 1]) \
+        if "--params" in sys.argv else 0
+    for pseed in range(n_par):
+        rng = np.random.default_rng(2000 + pseed)
+        params = dict(
+            fitting_levels=int(rng.integers(1, 4)),
+            max_iters=int(rng.integers(5, 15)),
+            convergence_threshold=float(rng.choice([0.001, 0.0005, 0.01])),
+            bins=int(rng.choice([64, 128, 200, 256])),
+            fwhm=float(rng.uniform(0.1, 0.3)),
+            wiener_noise=float(rng.choice([0.01, 0.05])),
+            control_points=int(rng.choice([4, 5])),
+        )
+        ph = make_phantom(shape=(64, 64, 8), seed=pseed)
+        img = jnp.asarray(np.asarray(ph.hp, np.float32))
+        mask = jnp.asarray(np.asarray(ph.mask, np.float32))
+        oc = n4_bias_correction_oracle(
+            np.asarray(ph.hp, np.float64), np.asarray(ph.mask), **params)
+        oc = np.asarray(oc[0] if isinstance(oc, tuple) else oc)
+        m = np.asarray(ph.mask) > 0
+        out = np.asarray(n4_bias_correction(img, mask, mask_pad=16384,
+                                            **params))
+        rel = (np.abs(out - oc)[m] / (np.abs(oc)[m] + 1e-6)).max()
+        status = "OK" if rel < 1e-2 else "FAIL"  # CPU-sweep budget
+        ok &= rel < 1e-2
+        print(f"params {pseed} {params}: rel = {rel:.2e}  {status}",
+              flush=True)
     return 0 if ok else 1
 
 
