@@ -113,6 +113,17 @@ def test_edit_mask_method(study):
     assert 0 <= float(v.metadata["VDP"]) <= 100
 
 
+def test_edit_mask_without_vox():
+    """Array-ctor studies never set vox (it stays the '' sentinel);
+    editMask must edit the mask and skip the LungVolume recompute rather
+    than crash on np.divide('', 10) (review finding)."""
+    v = Vent_Analysis(xenon_array=np.zeros((8, 8, 2)),
+                      mask_array=np.ones((8, 8, 2)))
+    got = v.editMask("erode:1")
+    assert got.shape == (8, 8, 2)
+    assert v.metadata["LungVolume"] == ""  # untouched sentinel
+
+
 def test_ci_module_calculate_cv_matches_map():
     """calculate_CV (the reference's per-voxel entry point, CI.py:87-105)
     must reproduce the engine-computed CI map voxel-for-voxel when driven

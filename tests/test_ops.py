@@ -174,6 +174,32 @@ def test_fill_holes_matches_scipy(rng):
     assert np.array_equal(got, scipy_nd.binary_fill_holes(vol > 0))
 
 
+def test_fill_holes_spiral_corridor_matches_scipy():
+    """A background corridor that winds through the mask and opens only at
+    the border: its geodesic distance far exceeds H+W, so a bounded flood
+    would misclassify it as a hole (review finding).  The flood must run
+    to its fixpoint and leave it unfilled, exactly like scipy."""
+    scipy_nd = pytest.importorskip("scipy.ndimage")
+    from ventjax.ops import morphology as mo
+
+    n = 41
+    sl = np.ones((n, n), np.float32)
+    # carve a rectangular spiral corridor of background starting at the
+    # border: walk inward with decreasing straight runs
+    r0, r1, c0, c1 = 0, n - 1, 0, n - 1
+    sl[r0, c0:c1 + 1] = 0
+    while r1 - r0 > 4 and c1 - c0 > 4:
+        sl[r0:r1 + 1, c1] = 0
+        sl[r1, c0 + 2:c1 + 1] = 0
+        sl[r0 + 2:r1 + 1, c0 + 2] = 0
+        r0, r1, c0, c1 = r0 + 2, r1 - 2, c0 + 2, c1 - 2
+        sl[r0, c0:c1 + 1] = 0
+    vol = sl[:, :, None]
+    got = np.asarray(mo.fill_holes(vol)) > 0
+    want = _scipy_slicewise(scipy_nd.binary_fill_holes, vol)
+    assert np.array_equal(got, want)
+
+
 def test_edit_mask_recipe(rng):
     from ventjax.ops import morphology as mo
 

@@ -155,6 +155,32 @@ def test_signal_histogram(tmp_path, rng):
         signal_histogram(str(tmp_path / "e.png"), sig, np.zeros_like(sig))
 
 
+def test_signal_histogram_pil_fallback(tmp_path, rng, monkeypatch):
+    """Without matplotlib (not a declared runtime dep) the histogram must
+    still render — via the PIL fallback — instead of crashing the export
+    tail of an analyze run (review finding)."""
+    import builtins
+
+    from ventjax.report.histogram import signal_histogram
+
+    real_import = builtins.__import__
+
+    def no_mpl(name, *a, **k):
+        if name == "matplotlib" or name.startswith("matplotlib."):
+            raise ImportError("matplotlib disabled for test")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_mpl)
+    sig = rng.gamma(4.0, 200.0, (48, 40, 6))
+    mask = np.zeros_like(sig)
+    mask[10:38, 8:32, 1:5] = 1
+    p = str(tmp_path / "hist_pil.png")
+    out = signal_histogram(p, sig, mask, vdp_lb=7.3)
+    assert out == p and os.path.getsize(p) > 2000
+    with open(p, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+
+
 def test_compat_export_histogram(tmp_path):
     from ventjax.compat import Vent_Analysis
     from ventjax.io.phantom import make_phantom

@@ -192,7 +192,10 @@ class Vent_Analysis:
                       slicewise=slicewise),
             np.float64)
         self.mask_border = self.calculateBorder(self.mask)
-        if getattr(self, "vox", None) is not None:
+        # vox is the '' string sentinel until a header (or caller) sets it —
+        # the same guard the constructor uses (np.divide('' , 10) raises)
+        if getattr(self, "vox", None) is not None \
+                and not isinstance(self.vox, str):
             self.metadata["LungVolume"] = (
                 np.sum(self.mask == 1)
                 * np.prod(np.divide(self.vox, 10)) / 1000
@@ -386,9 +389,8 @@ class Vent_Analysis:
         panes = {"twix": blank}
 
         def gray(m):
-            rng = m.max() - m.min()
-            m = m if rng == 0 else (m - m.min()) / rng
-            return np.stack([m, m, m], axis=-1) * 255
+            from ventjax.oracle.reference import normalize
+            return np.stack([normalize(m)] * 3, axis=-1) * 255
 
         try:
             panes["proton"] = gray(self.array3D_to_montage2D(self.proton))

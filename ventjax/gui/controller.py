@@ -304,11 +304,10 @@ class VentController:
         panes = self.study.pane_images()
         raw = self.study.raw_HPvent
         if not isinstance(raw, str):  # import_twix ran
+            from ventjax.oracle.reference import normalize
             from ventjax.report.montage import montage_row
 
-            m = np.abs(montage_row(np.asarray(raw)))
-            rng = m.max() - m.min()
-            m = m if rng == 0 else (m - m.min()) / rng
+            m = normalize(np.abs(montage_row(np.asarray(raw))))
             panes["twix"] = np.stack([m, m, m], axis=-1) * 255
         return panes
 

@@ -90,8 +90,11 @@ def fill_holes(mask: jnp.ndarray, *, slicewise: bool = True) -> jnp.ndarray:
     Geodesic reconstruction: flood the background from the volume border
     (cross connectivity, scipy's default structure) by repeated
     dilate-and-clip; background the flood cannot reach is a hole.  The
-    front advances >=1 voxel per step along any path, so H+W(+D) steps —
-    a static trip count — always reach the fixpoint.
+    flood runs to its FIXPOINT under lax.while_loop — a fixed H+W(+D)
+    trip count is not enough: the worst-case geodesic distance through a
+    winding corridor is O(H*W), and an under-iterated flood misclassifies
+    border-connected background as holes (found by review: a spiral
+    corridor open only at the border filled 64 voxels that scipy leaves).
     """
     m = (jnp.asarray(mask) > 0).astype(jnp.float32)
     H, W, D = m.shape
@@ -103,12 +106,16 @@ def fill_holes(mask: jnp.ndarray, *, slicewise: bool = True) -> jnp.ndarray:
     if not slicewise:
         border = border | (kk == 0) | (kk == D - 1)
     seed = outside * border.astype(jnp.float32)
-    steps = H + W + (0 if slicewise else D)
 
-    def body(_, s):
-        return jnp.minimum(_dilate_once(s, slicewise, 1), outside)
+    def cond(carry):
+        return carry[1]
 
-    reachable = jax.lax.fori_loop(0, steps, body, seed)
+    def body(carry):
+        s, _ = carry
+        ns = jnp.minimum(_dilate_once(s, slicewise, 1), outside)
+        return ns, jnp.any(ns != s)
+
+    reachable, _ = jax.lax.while_loop(cond, body, (seed, jnp.asarray(True)))
     holes = (reachable == 0) & (outside > 0)
     return ((m > 0) | holes).astype(jnp.float32)
 

@@ -39,12 +39,11 @@ def signal_histogram(
     normalized by the reference's floor-index percentile
     (sorted[int(count*percentile)], Vent_Analysis.py:255) so the x-axis
     matches the linear-binning bin edges exactly.
+
+    Rendered with matplotlib when available; falls back to a plain PIL
+    rendering otherwise (matplotlib is deliberately not a runtime
+    dependency — pyproject lists jax/numpy/pillow/flax/optax only).
     """
-    import matplotlib
-
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     vals = np.asarray(signal, np.float64)[np.asarray(mask) > 0]
     if vals.size == 0:
         raise ValueError("empty mask: nothing to histogram")
@@ -60,6 +59,25 @@ def signal_histogram(
     # color each histogram bar by the clinical bin its center falls in
     bin_idx = np.searchsorted(edges, centers, side="left")
     colors = [BIN_COLORS[i] for i in bin_idx]
+
+    head = title or "Masked ventilation signal"
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        if vdp_lb is not None:
+            head += f"   (VDP_lb = {float(vdp_lb):.1f}%)"
+        return _render_pil(path, counts, hist_edges, colors, edges, xmax,
+                           head, percentile)
+    return _render_mpl(path, counts, centers, hist_edges, colors, edges,
+                       xmax, head, percentile, vdp_lb)
+
+
+def _render_mpl(path, counts, centers, hist_edges, colors, edges, xmax,
+                head, percentile, vdp_lb):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(7.2, 4.2), dpi=130)
     ax.bar(centers, counts, width=(hist_edges[1] - hist_edges[0]) * 0.92,
@@ -84,7 +102,6 @@ def signal_histogram(
     ax.set_xlabel(f"signal / {int(percentile * 100)}th-percentile signal",
                   color=_INK)
     ax.set_ylabel("voxel count", color=_INK)
-    head = title or "Masked ventilation signal"
     if vdp_lb is not None:
         head += f"   (VDP$_{{lb}}$ = {float(vdp_lb):.1f}%)"
     # pad the title above the bin region labels (which sit just over the
@@ -97,4 +114,63 @@ def signal_histogram(
     fig.tight_layout()
     fig.savefig(path)
     plt.close(fig)
+    return path
+
+
+def _render_pil(path, counts, hist_edges, colors, edges, xmax, head,
+                percentile):
+    """Matplotlib-free rendering: same bars, dashed bin edges, and labels
+    on a white canvas via PIL (a hard dependency)."""
+    from PIL import Image, ImageDraw
+
+    W, H = 936, 546
+    ml, mr, mt, mb = 70, 20, 60, 55  # margins
+    pw, ph = W - ml - mr, H - mt - mb
+    img = Image.new("RGB", (W, H), "white")
+    d = ImageDraw.Draw(img)
+
+    def xpix(x):
+        return ml + int(pw * x / xmax)
+
+    top = max(1, int(counts.max()))
+    # y gridlines + tick labels
+    for frac in (0.25, 0.5, 0.75, 1.0):
+        y = mt + ph - int(ph * frac)
+        d.line([(ml, y), (W - mr, y)], fill="#e6e6e6", width=1)
+        d.text((ml - 6, y), str(int(top * frac)), fill=_MUTED, anchor="rm")
+    # bars
+    for i, c in enumerate(counts):
+        x0 = xpix(hist_edges[i]) + 1
+        x1 = max(x0, xpix(hist_edges[i + 1]) - 1)
+        h = int(ph * c / top)
+        if h:
+            d.rectangle([x0, mt + ph - h, x1, mt + ph], fill=colors[i])
+    # dashed bin-edge lines + region labels
+    for e in edges:
+        x = xpix(e)
+        for y in range(mt, mt + ph, 8):
+            d.line([(x, y), (x, min(y + 4, mt + ph))], fill=_MUTED, width=1)
+    bounds = (0.0,) + tuple(edges) + (xmax,)
+    shown = set()
+    for i in range(6):
+        label = BIN_LABELS[i]
+        if label in shown:
+            continue
+        lo = bounds[i]
+        hi = bounds[i + 1] if label != "normal" else bounds[i + 2]
+        shown.add(label)
+        d.text((xpix(0.5 * (lo + min(hi, xmax))), mt - 6), label,
+               fill=_INK, anchor="ms")
+    # axes, labels, title
+    d.line([(ml, mt + ph), (W - mr, mt + ph)], fill=_INK, width=1)
+    d.line([(ml, mt), (ml, mt + ph)], fill=_INK, width=1)
+    for x in (0.0, 0.5, 1.0):
+        if x <= xmax:
+            d.text((xpix(x), mt + ph + 6), f"{x:.1f}", fill=_MUTED,
+                   anchor="ma")
+    d.text((ml + pw // 2, H - 18),
+           f"signal / {int(percentile * 100)}th-percentile signal",
+           fill=_INK, anchor="mm")
+    d.text((ml, 18), head, fill=_INK, anchor="lm")
+    img.save(path)
     return path
