@@ -1,0 +1,245 @@
+"""Watch-folder serving daemon (ventjax serve / pipeline/serve.py).
+
+The production counterpart of the reference's attended GUI loop
+(Vent_Analysis.py:856-864): studies dropped into an inbox are discovered,
+gated on arrival completeness, analyzed with warm persistent programs, and
+exported exactly once.
+"""
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from ventjax.io.synthetic import write_study
+from ventjax.pipeline.serve import WatchService, discover_subjects
+
+SHAPE = (64, 64, 8)
+VOX = (1.5, 1.5, 10.0)
+
+
+def _drop_subject(inbox, sid, seed, with_proton=False, old=True):
+    root = os.path.join(inbox, sid)
+    ph = write_study(str(root), shape=SHAPE, vox=VOX, seed=seed,
+                     with_proton=with_proton)
+    if old:
+        _age(root)
+    return ph
+
+
+def _age(root, seconds=3600):
+    """Back-date every file so min_age gating sees a settled subject."""
+    past = time.time() - seconds
+    for r, _d, files in os.walk(root):
+        for f in files:
+            os.utime(os.path.join(r, f), (past, past))
+
+
+# ---------------------------------------------------------------- discovery
+
+def test_discover_layout_and_gating(tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # Complete + settled subject.
+    _drop_subject(str(inbox), "s1", seed=1)
+    # Incomplete: mask folder missing -> pending, never an error.
+    os.makedirs(inbox / "half" / "mask_not_yet", exist_ok=True)
+    (inbox / "half" / "xenon.dcm").write_bytes(b"partial")
+    # Stray file at inbox top level is ignored entirely.
+    (inbox / "README.txt").write_text("not a subject")
+
+    subjects, pending = discover_subjects(str(inbox), min_age=0.0)
+    assert [e["id"] for e in subjects] == ["s1"]
+    assert pending == 1
+    assert subjects[0]["xenon"].endswith(os.path.join("s1", "xenon.dcm"))
+    assert "proton" not in subjects[0]
+
+    # Optional proton is picked up when present.
+    _drop_subject(str(inbox), "s2", seed=2, with_proton=True)
+    subjects, _ = discover_subjects(str(inbox), min_age=0.0)
+    by_id = {e["id"]: e for e in subjects}
+    assert by_id["s2"]["proton"].endswith("proton.dcm")
+
+
+def test_discover_min_age_gates_fresh_files(tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "fresh", seed=3, old=False)  # mtime = now
+    subjects, pending = discover_subjects(str(inbox), min_age=30.0)
+    assert subjects == [] and pending == 1
+    # Once the files are old enough the same subject becomes eligible.
+    _age(str(inbox / "fresh"))
+    subjects, pending = discover_subjects(str(inbox), min_age=30.0)
+    assert [e["id"] for e in subjects] == ["fresh"] and pending == 0
+
+
+def test_discover_ready_marker_wins_over_age(tmp_path):
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "s1", seed=4, old=False)
+    # ready_marker mode ignores mtimes entirely: not ready until the
+    # sentinel lands, ready immediately after even with fresh files.
+    subjects, pending = discover_subjects(str(inbox), ready_marker="READY")
+    assert subjects == [] and pending == 1
+    (inbox / "s1" / "READY").write_text("")
+    subjects, pending = discover_subjects(str(inbox), ready_marker="READY")
+    assert [e["id"] for e in subjects] == ["s1"] and pending == 0
+
+
+def test_discover_missing_inbox_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="inbox"):
+        discover_subjects(str(tmp_path / "nope"))
+
+
+# ------------------------------------------------------------- serving loop
+
+def test_serve_incremental_scans_with_warm_runners(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "a", seed=10)
+    _drop_subject(str(inbox), "b", seed=11)
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    r1 = svc.scan_once()
+    assert (r1.new, r1.analyzed, r1.failed, r1.pending) == (2, 2, 0, 0)
+    for sid in ("a", "b"):
+        assert (out / sid / ".done").exists()
+        m = json.loads((out / sid / "metrics.json").read_text())
+        assert m["valid"] and np.isfinite(m["VDP"])
+
+    # Quiet scan: nothing new, nothing re-analyzed, outputs untouched.
+    mtime_a = (out / "a" / "metrics.json").stat().st_mtime
+    r2 = svc.scan_once()
+    assert (r2.new, r2.analyzed) == (0, 0) and r2.scanned == 2
+    assert (out / "a" / "metrics.json").stat().st_mtime == mtime_a
+
+    # A third subject of the SAME geometry arrives: only it is processed,
+    # and the persistent geometry runner (jitted program + sticky pads) is
+    # reused — no new runner, no new jit cache entry.
+    runner = next(iter(svc.runners.values()))
+    fns_before = dict(runner._fns)
+    _drop_subject(str(inbox), "c", seed=12)
+    r3 = svc.scan_once()
+    assert (r3.new, r3.analyzed) == (1, 1)
+    assert (out / "c" / ".done").exists()
+    assert len(svc.runners) == 1
+    assert next(iter(svc.runners.values())) is runner
+    for key, fn in fns_before.items():
+        assert runner._fns[key] is fn  # same compiled callables, warm serve
+
+    # Ledger: one record per scan that did work, newest last.
+    lines = [json.loads(l) for l in
+             (out / "serve_log.jsonl").read_text().splitlines()]
+    assert [rec["new"] for rec in lines] == [2, 1]
+    assert {s["id"] for s in lines[0]["subjects"]} == {"a", "b"}
+    assert all(np.isfinite(s["VDP"]) for s in lines[0]["subjects"])
+
+
+def test_serve_restart_resumes_exactly_once(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "a", seed=20)
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    assert svc.scan_once().analyzed == 1
+    nifti_mtime = next((out / "a").glob("*.nii")).stat().st_mtime
+
+    # Fresh service over the same directories (process restart): the first
+    # scan sees the subject, resumes it from the .done marker, and rewrites
+    # nothing.
+    svc2 = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    r = svc2.scan_once()
+    assert (r.new, r.resumed, r.analyzed, r.failed) == (1, 1, 0, 0)
+    assert next((out / "a").glob("*.nii")).stat().st_mtime == nifti_mtime
+    # And the scan after that is O(new): nothing to do.
+    assert svc2.scan_once().new == 0
+
+
+def test_serve_corrupt_subject_isolated(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "good", seed=30)
+    bad = inbox / "bad"
+    (bad / "mask").mkdir(parents=True)
+    (bad / "xenon.dcm").write_bytes(b"\x00" * 256)  # not a DICOM
+    _age(str(bad))
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    r = svc.scan_once()
+    assert (r.new, r.analyzed, r.failed) == (2, 1, 1)
+    good = json.loads((out / "good" / "metrics.json").read_text())
+    assert good["valid"]
+    badm = json.loads((out / "bad" / "metrics.json").read_text())
+    assert badm["valid"] is False and badm["error"] == "decode_failed"
+    # Within one service life the failure is recorded once, not re-polled.
+    assert svc.scan_once().new == 0
+    # Across a restart: the good subject resumes from its .done marker, the
+    # failed one (metrics.json but no marker) is retried — so fixing the
+    # study in place and restarting the service is enough.
+    svc2 = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    r2 = svc2.scan_once()
+    assert (r2.resumed, r2.failed, r2.analyzed) == (1, 1, 0)
+
+
+def test_serve_forever_stops_and_counts(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+    reports = []
+    n = svc.serve_forever(interval=0.01, max_scans=3,
+                          on_scan=reports.append)
+    assert n == 3 and len(reports) == 3
+    assert all(r.new == 0 for r in reports)
+
+    # stop event ends the loop even with no max_scans.
+    stop = threading.Event()
+    done = {}
+
+    def run():
+        done["n"] = svc.serve_forever(interval=0.01, stop=stop)
+
+    t = threading.Thread(target=run)
+    t.start()
+    time.sleep(0.15)
+    stop.set()
+    t.join(timeout=10)
+    assert not t.is_alive() and done["n"] >= 1
+
+
+# --------------------------------------------------------------------- CLI
+
+def test_cli_serve_once(tmp_path):
+    from ventjax.cli import main
+
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "s1", seed=40)
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["serve", "--inbox", str(inbox), "--out", str(out),
+                   "--once", "--no-mesh", "--min-age", "30"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["new"] == 1 and rep["analyzed"] == 1 and rep["failed"] == 0
+    assert (out / "s1" / ".done").exists()
+
+    # --once exits 1 when a new subject fails (monitorable from cron).
+    bad = inbox / "bad"
+    (bad / "mask").mkdir(parents=True)
+    (bad / "xenon.dcm").write_bytes(b"junk")
+    _age(str(bad))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["serve", "--inbox", str(inbox), "--out", str(out),
+                   "--once", "--no-mesh", "--min-age", "30"])
+    assert rc == 1

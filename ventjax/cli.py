@@ -12,6 +12,7 @@ Usage:
       --out OUT [--irb mepo --id 0039 --visit 1 --treatment preAlb]
       [--user RPT] [--no-ci]
   python -m ventjax cohort --manifest subjects.json --out OUT [--batch 16]
+  python -m ventjax serve --inbox IN --out OUT [--interval 5] [--once]
   python -m ventjax twix --dat FILE.dat --out OUT
   python -m ventjax gui [--xenon X.dcm --mask MASKDIR ...]
   python -m ventjax info
@@ -288,6 +289,44 @@ def _cmd_twix(args) -> int:
     return 0
 
 
+def _cmd_serve(args) -> int:
+    import threading
+
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.pipeline.serve import WatchService
+
+    if args.deterministic:
+        from ventjax.utils.profiling import enable_deterministic
+
+        enable_deterministic()
+    cfg = DEFAULT_CONFIG
+    if args.max_defect:
+        cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
+    svc = WatchService(
+        args.inbox, args.out, config=cfg, batch_size=args.batch,
+        use_mesh=not args.no_mesh, ready_marker=args.ready_marker,
+        min_age=args.min_age,
+    )
+
+    def on_scan(report):
+        # One JSON line per scan — machine-tailable service output.  Quiet
+        # scans (nothing new, nothing pending) print only with --verbose.
+        if report.new or report.pending or args.verbose:
+            print(json.dumps(report.as_dict()), flush=True)
+
+    if args.once:
+        report = svc.scan_once()
+        print(json.dumps(report.as_dict()))
+        return 0 if report.failed == 0 else 1
+    stop = threading.Event()
+    try:
+        svc.serve_forever(interval=args.interval, stop=stop,
+                          max_scans=args.max_scans, on_scan=on_scan)
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
 def _cmd_gui(args) -> int:
     from ventjax.gui.app import GuiUnavailableError, launch
     from ventjax.gui.controller import GuiState, VentController
@@ -418,6 +457,40 @@ def main(argv=None) -> int:
                    help="force deterministic XLA reductions")
     c.set_defaults(fn=_cmd_cohort)
 
+    s = sub.add_parser(
+        "serve",
+        help="watch an inbox directory and analyze studies as they arrive "
+        "(warm jitted programs across scans; exactly-once via .done markers)",
+    )
+    s.add_argument("--inbox", required=True,
+                   help="directory to watch; each subdirectory holding "
+                   "xenon.dcm + mask/ (optional proton.dcm) is a subject")
+    s.add_argument("--out", required=True, help="output root (one "
+                   "subdirectory per subject id + serve_log.jsonl)")
+    s.add_argument("--interval", type=float, default=5.0,
+                   help="seconds between inbox scans")
+    s.add_argument("--once", action="store_true",
+                   help="single scan, then exit (exit 1 if any new subject "
+                   "failed)")
+    s.add_argument("--max-scans", type=int, default=None,
+                   help="stop after N scans (default: run until SIGINT)")
+    s.add_argument("--ready-marker", default=None, metavar="NAME",
+                   help="only pick up a subject once NAME exists in its "
+                   "directory (producer drops it after the copy completes)")
+    s.add_argument("--min-age", type=float, default=1.0,
+                   help="without --ready-marker: require the subject's "
+                   "newest file mtime to be at least this many seconds old "
+                   "before pickup (guards half-copied studies)")
+    s.add_argument("--batch", type=int, default=None)
+    s.add_argument("--no-mesh", action="store_true")
+    s.add_argument("--max-defect", type=int, default=None,
+                   help="static bound on defect voxels for CI (default 8192)")
+    s.add_argument("--deterministic", action="store_true",
+                   help="force deterministic XLA reductions")
+    s.add_argument("--verbose", action="store_true",
+                   help="print a JSON line for quiet scans too")
+    s.set_defaults(fn=_cmd_serve)
+
     t = sub.add_parser("twix", help="reconstruct a Siemens twix .dat")
     t.add_argument("--dat", required=True)
     t.add_argument("--out", required=True)
@@ -447,7 +520,7 @@ def main(argv=None) -> int:
         faulthandler.dump_traceback_later(120, repeat=True)
     if not args.no_compile_cache and args.cmd in ("analyze", "cohort",
                                                   "twix", "train-seg",
-                                                  "gui"):
+                                                  "gui", "serve"):
         from ventjax.utils.profiling import enable_compile_cache
 
         enable_compile_cache()

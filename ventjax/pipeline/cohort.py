@@ -262,6 +262,7 @@ def run_cohort(
     decode_workers: int = 8,
     export_workers: int = 4,
     progress: Optional[Callable[[str, int, int], None]] = None,
+    runners: Optional[Dict[Tuple, "_GeometryRunner"]] = None,
 ) -> List[Dict]:
     """Analyze every subject in the manifest; returns per-subject metrics.
 
@@ -269,6 +270,13 @@ def run_cohort(
     background threads, so host memory stays O(batch_size x geometries) on
     arbitrarily large cohorts.  `progress(stage, done, total)` is called as
     subjects decode and as device batches complete.
+
+    `runners` lets a long-lived caller (the watch-folder service,
+    pipeline/serve.py) pass a persistent per-geometry runner dict so jitted
+    programs and sticky pad buckets survive across calls — repeat calls with
+    a known geometry skip straight to device dispatch instead of re-tracing.
+    The caller must then hold config/batch_size/use_mesh fixed across calls
+    (runners bake them in at construction).
     """
     multihost = jax.process_count() > 1
     os.makedirs(out_dir, exist_ok=True)
@@ -306,7 +314,8 @@ def run_cohort(
     bs = -(-bs // n_dev) * n_dev  # divisible by mesh size
     mesh = make_batch_mesh() if use_mesh and n_dev > 1 else None
 
-    runners: Dict[Tuple, _GeometryRunner] = {}
+    if runners is None:
+        runners = {}
     results_lock = threading.Lock()
     n_done = 0
     total = len(todo)
