@@ -185,6 +185,59 @@ def test_serve_corrupt_subject_isolated(tmp_path):
     assert (r2.resumed, r2.failed, r2.analyzed) == (1, 1, 0)
 
 
+def test_serve_retry_budget_and_rearm(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    bad = inbox / "flaky"
+    (bad / "mask").mkdir(parents=True)
+    (bad / "xenon.dcm").write_bytes(b"\x00" * 256)  # not a DICOM
+    _age(str(bad))
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0,
+                       max_retries=1, retry_backoff=0.0)
+    # Initial attempt fails; it is 'new', not 'retried'.
+    r1 = svc.scan_once()
+    assert (r1.new, r1.failed, r1.retried) == (1, 1, 0)
+    # Backoff 0 -> the single budgeted retry happens on the next scan.
+    r2 = svc.scan_once()
+    assert (r2.new, r2.failed, r2.retried) == (0, 1, 1)
+    # Budget exhausted: no further attempts while the study is unchanged.
+    r3 = svc.scan_once()
+    assert (r3.failed, r3.retried) == (0, 0)
+    status = json.loads((out / "serve_status.json").read_text())
+    assert status["awaiting_retry"] == ["flaky"]
+    assert status["scans"] == 3 and status["failed"] == 2
+
+    # Fixing the study *in place* (newer mtimes) re-arms it immediately
+    # with a fresh budget — no restart needed.
+    (bad / "xenon.dcm").unlink()
+    write_study(str(bad), shape=SHAPE, vox=VOX, seed=77, with_proton=False)
+    _age(str(bad), seconds=100)  # settled past min_age, newer than before
+    r4 = svc.scan_once()
+    assert (r4.retried, r4.analyzed, r4.failed) == (1, 1, 0)
+    assert (out / "flaky" / ".done").exists()
+    status = json.loads((out / "serve_status.json").read_text())
+    assert status["awaiting_retry"] == [] and status["analyzed"] == 1
+
+
+def test_serve_retry_backoff_delays_attempt(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    bad = inbox / "bad"
+    (bad / "mask").mkdir(parents=True)
+    (bad / "xenon.dcm").write_bytes(b"junk")
+    _age(str(bad))
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0,
+                       max_retries=3, retry_backoff=3600.0)
+    assert svc.scan_once().failed == 1
+    # Within the backoff window: budget remains but no attempt is made.
+    r = svc.scan_once()
+    assert (r.retried, r.failed) == (0, 0)
+
+
 def test_serve_forever_stops_and_counts(tmp_path):
     inbox = tmp_path / "inbox"
     out = tmp_path / "out"

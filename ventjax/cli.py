@@ -290,6 +290,7 @@ def _cmd_twix(args) -> int:
 
 
 def _cmd_serve(args) -> int:
+    import signal
     import threading
 
     from ventjax.config import DEFAULT_CONFIG
@@ -305,7 +306,8 @@ def _cmd_serve(args) -> int:
     svc = WatchService(
         args.inbox, args.out, config=cfg, batch_size=args.batch,
         use_mesh=not args.no_mesh, ready_marker=args.ready_marker,
-        min_age=args.min_age,
+        min_age=args.min_age, max_retries=args.max_retries,
+        retry_backoff=args.retry_backoff,
     )
 
     def on_scan(report):
@@ -319,6 +321,13 @@ def _cmd_serve(args) -> int:
         print(json.dumps(report.as_dict()))
         return 0 if report.failed == 0 else 1
     stop = threading.Event()
+    # Graceful shutdown under process supervisors (systemd, docker stop):
+    # SIGTERM finishes the in-flight scan, then exits the loop cleanly so
+    # the last subject's export + .done marker are never torn.
+    try:
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+    except ValueError:
+        pass  # not the main thread (embedded use); SIGTERM stays default
     try:
         svc.serve_forever(interval=args.interval, stop=stop,
                           max_scans=args.max_scans, on_scan=on_scan)
@@ -481,6 +490,13 @@ def main(argv=None) -> int:
                    help="without --ready-marker: require the subject's "
                    "newest file mtime to be at least this many seconds old "
                    "before pickup (guards half-copied studies)")
+    s.add_argument("--max-retries", type=int, default=2,
+                   help="re-attempt a failed subject up to N times with "
+                   "exponential backoff; after that it waits until its "
+                   "files change on disk (which re-arms a fresh budget)")
+    s.add_argument("--retry-backoff", type=float, default=60.0,
+                   help="base seconds before the first retry of a failed "
+                   "subject (doubles on each further attempt)")
     s.add_argument("--batch", type=int, default=None)
     s.add_argument("--no-mesh", action="store_true")
     s.add_argument("--max-defect", type=int, default=None,

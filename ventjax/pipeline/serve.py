@@ -24,8 +24,12 @@ provides that on top of the cohort engine (pipeline/cohort.py):
 - **exactly-once**: the cohort driver's ``.done`` markers carry over —
   restarting the service never re-analyzes or rewrites a completed subject,
   and a scan is O(new subjects), not O(inbox);
-- **failure isolation**: a corrupt study poisons only its own lane
-  (valid=False in its metrics.json), exactly as in batch cohort runs.
+- **failure isolation + bounded retries**: a corrupt study poisons only its
+  own lane (valid=False in its metrics.json), exactly as in batch cohort
+  runs; a failed subject is re-attempted up to ``max_retries`` times with
+  exponential backoff (transient I/O blips self-heal), and fixing the study
+  *in place* (any file in its directory getting a newer mtime) re-arms it
+  immediately with a fresh retry budget — no service restart needed.
 
 Multi-host serving is out of scope here: the watcher is a single-process
 frontend to one chip/slice (run_cohort's multi-host path remains available
@@ -45,6 +49,22 @@ from ventjax.config import DEFAULT_CONFIG, VentConfig
 from ventjax.pipeline.cohort import run_cohort
 
 log = logging.getLogger("ventjax.serve")
+
+
+def _newest_mtime(d: str) -> float:
+    """Newest file mtime under ``d`` (0.0 if empty).
+
+    Races with a producer mid-copy are benign: a vanished file is skipped
+    and the next scan sees the final state.
+    """
+    newest = 0.0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+            except OSError:
+                pass
+    return newest
 
 
 def discover_subjects(
@@ -81,15 +101,7 @@ def discover_subjects(
                 continue
         elif min_age > 0:
             now = time.time() if _now is None else _now
-            newest = 0.0
-            for root, _dirs, files in os.walk(d):
-                for f in files:
-                    try:
-                        newest = max(newest,
-                                     os.path.getmtime(os.path.join(root, f)))
-                    except OSError:
-                        pass  # racing with the producer; retry next scan
-            if now - newest < min_age:
+            if now - _newest_mtime(d) < min_age:
                 pending += 1
                 continue
         entry = {"id": name, "xenon": xenon, "mask": mask}
@@ -105,14 +117,25 @@ class ScanReport:
     """One scan's outcome (serialized as the service's per-scan JSON line)."""
 
     scanned: int     # eligible subjects visible in the inbox
-    new: int         # picked up by this scan
-    analyzed: int    # of new: exported with valid metrics
-    failed: int      # of new: decode/analysis failures (lane-isolated)
+    new: int         # first seen by this scan
+    analyzed: int    # of dispatched: exported with valid metrics
+    failed: int      # of dispatched: decode/analysis failures (lane-isolated)
     resumed: int     # of new: already had .done markers (service restart)
     pending: int     # visible but not yet eligible (mid-copy / not ready)
+    retried: int = 0  # previously-failed subjects re-attempted this scan
 
     def as_dict(self) -> Dict:
         return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class _FailureState:
+    """Retry bookkeeping for one failed subject (in-process only; across
+    restarts the .done-marker protocol already retries failures)."""
+
+    attempts: int = 0        # consecutive failed attempts since last re-arm
+    next_retry: float = 0.0  # earliest wall time for the next attempt
+    mtime: float = 0.0       # subject-dir newest mtime at the last attempt
 
 
 class WatchService:
@@ -132,6 +155,8 @@ class WatchService:
         use_mesh: bool = True,
         ready_marker: Optional[str] = None,
         min_age: float = 1.0,
+        max_retries: int = 2,
+        retry_backoff: float = 60.0,
     ):
         self.inbox = inbox
         self.out_dir = out_dir
@@ -140,15 +165,22 @@ class WatchService:
         self.use_mesh = use_mesh
         self.ready_marker = ready_marker
         self.min_age = min_age
+        self.max_retries = max_retries
+        self.retry_backoff = retry_backoff
         # Persistent jit caches + sticky pad buckets (cohort._GeometryRunner);
         # shared across every run_cohort call this service makes.
         self.runners: Dict[Tuple, object] = {}
-        # Ids this process has already handled (analyzed, failed, or resumed)
-        # so scans stay O(new).  On restart it is rebuilt lazily: the first
-        # scan passes everything through run_cohort, whose .done markers make
+        # Ids this process has successfully handled (analyzed or resumed) so
+        # scans stay O(new).  On restart it is rebuilt lazily: the first scan
+        # passes everything through run_cohort, whose .done markers make
         # resumed subjects a metrics.json read, not a re-analysis.
         self._served: set = set()
+        # Failed subjects awaiting retry (bounded, backed-off, mtime-armed).
+        self._failed: Dict[str, _FailureState] = {}
         self._ledger_lock = threading.Lock()
+        # Cumulative service counters (serve_status.json heartbeat).
+        self._totals = {"scans": 0, "analyzed": 0, "failed": 0, "resumed": 0}
+        self._started = time.time()
         os.makedirs(out_dir, exist_ok=True)
 
     def scan_once(self) -> ScanReport:
@@ -156,15 +188,36 @@ class WatchService:
         subjects, pending = discover_subjects(
             self.inbox, ready_marker=self.ready_marker, min_age=self.min_age
         )
-        new = [e for e in subjects if e["id"] not in self._served]
+        now = time.time()
+        new: List[Dict] = []
+        retries: List[Dict] = []
+        for e in subjects:
+            sid = e["id"]
+            if sid in self._served:
+                continue
+            st = self._failed.get(sid)
+            if st is None:
+                new.append(e)
+                continue
+            # Previously failed.  Re-arm immediately (fresh budget) if the
+            # producer touched the study since the last attempt — "fix the
+            # files in place" is the operator's natural remedy; otherwise
+            # retry on the backoff schedule while budget remains.
+            if _newest_mtime(os.path.join(self.inbox, sid)) > st.mtime + 1e-6:
+                st.attempts = 0
+                retries.append(e)
+            elif st.attempts <= self.max_retries and now >= st.next_retry:
+                retries.append(e)
+        picked = new + retries
         # Exactly-once across service restarts: a .done marker means the
         # subject's export completed in a previous life — count it resumed
         # and never re-dispatch (a FAILED subject writes metrics.json but no
         # marker, so a restart retries it, which is what an operator wants).
-        done = [e for e in new
+        done = [e for e in picked
                 if os.path.exists(os.path.join(self.out_dir, e["id"],
                                                ".done"))]
-        todo = [e for e in new if e["id"] not in {d["id"] for d in done}]
+        done_ids = {d["id"] for d in done}
+        todo = [e for e in picked if e["id"] not in done_ids]
         results: List[Dict] = []
         if todo:
             results = run_cohort(
@@ -172,19 +225,56 @@ class WatchService:
                 batch_size=self.batch_size, use_mesh=self.use_mesh,
                 resume=True, runners=self.runners,
             )
-        self._served.update(e["id"] for e in new)
-        analyzed = sum(1 for r in results if r.get("valid"))
-        failed = len(results) - analyzed
+        self._served.update(done_ids)
+        analyzed = failed = 0
+        for r in results:
+            sid = r["id"]
+            if r.get("valid"):
+                analyzed += 1
+                self._served.add(sid)
+                self._failed.pop(sid, None)
+            else:
+                failed += 1
+                st = self._failed.setdefault(sid, _FailureState())
+                st.attempts += 1
+                st.mtime = _newest_mtime(os.path.join(self.inbox, sid))
+                st.next_retry = (now + self.retry_backoff
+                                 * (2 ** (st.attempts - 1)))
+                if st.attempts > self.max_retries:
+                    log.warning(
+                        "subject %s failed %d times; waiting for the study "
+                        "to change on disk before retrying", sid, st.attempts)
         report = ScanReport(
             scanned=len(subjects), new=len(new), analyzed=analyzed,
             failed=failed, resumed=len(done), pending=pending,
+            retried=len(retries),
         )
-        if new:
+        self._totals["scans"] += 1
+        for k in ("analyzed", "failed", "resumed"):
+            self._totals[k] += getattr(report, k)
+        if picked:
             self._append_ledger(
                 report,
                 results + [{"id": e["id"], "resumed": True} for e in done],
             )
+        self._write_status(report)
         return report
+
+    def _write_status(self, report: ScanReport) -> None:
+        """Atomic heartbeat (`serve_status.json`): liveness + cumulative
+        counters for external monitoring, rewritten after every scan."""
+        status = {
+            "ts": time.time(),
+            "started": self._started,
+            "inbox": self.inbox,
+            "last_scan": report.as_dict(),
+            "awaiting_retry": sorted(self._failed),
+            **self._totals,
+        }
+        tmp = os.path.join(self.out_dir, ".serve_status.tmp")
+        with open(tmp, "w") as f:
+            json.dump(status, f)
+        os.replace(tmp, os.path.join(self.out_dir, "serve_status.json"))
 
     def _append_ledger(self, report: ScanReport, results: List[Dict]) -> None:
         """Service ledger: one JSONL record per scan that did work, so an
