@@ -209,13 +209,17 @@ def test_serve_retry_budget_and_rearm(tmp_path):
     assert status["awaiting_retry"] == ["flaky"]
     assert status["scans"] == 3 and status["failed"] == 2
 
-    # Fixing the study *in place* (newer mtimes) re-arms it immediately
-    # with a fresh budget — no restart needed.
+    # Fixing the study *in place* (newer mtimes) re-arms it with a fresh
+    # budget — no restart needed.  The first scan after the fix holds it
+    # back once (signature changed = possibly still being written); the
+    # next scan sees it settled and analyzes it.
     (bad / "xenon.dcm").unlink()
     write_study(str(bad), shape=SHAPE, vox=VOX, seed=77, with_proton=False)
     _age(str(bad), seconds=100)  # settled past min_age, newer than before
     r4 = svc.scan_once()
-    assert (r4.retried, r4.analyzed, r4.failed) == (1, 1, 0)
+    assert (r4.retried, r4.analyzed, r4.pending) == (0, 0, 1)
+    r5 = svc.scan_once()
+    assert (r5.retried, r5.analyzed, r5.failed) == (1, 1, 0)
     assert (out / "flaky" / ".done").exists()
     status = json.loads((out / "serve_status.json").read_text())
     assert status["awaiting_retry"] == [] and status["analyzed"] == 1
@@ -236,6 +240,128 @@ def test_serve_retry_backoff_delays_attempt(tmp_path):
     # Within the backoff window: budget remains but no attempt is made.
     r = svc.scan_once()
     assert (r.retried, r.failed) == (0, 0)
+
+
+def test_serve_settle_scans_gates_preserved_mtime_copy(tmp_path):
+    """A producer that preserves source mtimes (rsync -a) defeats pure
+    min_age gating; settle_scans=1 requires one confirming scan with an
+    unchanged file signature before first pickup, so a copy that grows
+    across scans is never half-decoded."""
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    # The subject 'arrives' looking complete, with OLD mtimes (preserved
+    # by the copier), but the copy is still in flight.
+    _drop_subject(str(inbox), "s1", seed=50)
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0,
+                       settle_scans=1)
+    # First look: mtime age passes, but no stability confirmation yet.
+    r1 = svc.scan_once()
+    assert (r1.analyzed, r1.pending) == (0, 1)
+    # The copy continues (another file lands, again with an old mtime):
+    # signature changed, still held back.
+    (inbox / "s1" / "proton.dcm").write_bytes(b"placeholder")
+    _age(str(inbox / "s1"))
+    r2 = svc.scan_once()
+    assert (r2.analyzed, r2.pending) == (0, 1)
+    # Copy finished; signature changed once more (file replaced)...
+    from ventjax.io.synthetic import write_multiframe
+
+    ph = _drop_subject(str(inbox), "tmp_src", seed=50)  # regenerate arrays
+    import shutil
+
+    shutil.rmtree(str(inbox / "tmp_src"))
+    write_multiframe(str(inbox / "s1" / "proton.dcm"), ph.proton, VOX)
+    _age(str(inbox / "s1"))
+    r3 = svc.scan_once()
+    assert (r3.analyzed, r3.pending) == (0, 1)
+    # ...and now it is stable for one full scan: picked up and analyzed.
+    r4 = svc.scan_once()
+    assert (r4.analyzed, r4.failed) == (1, 0)
+    assert (out / "s1" / ".done").exists()
+
+
+def test_serve_invalid_with_done_is_terminal(tmp_path):
+    """Analysis-stage invalidity (empty mask) exports with a .done marker:
+    the subject is terminal — counted failed once, never queued for retry."""
+    import numpy as np
+
+    from ventjax.io.synthetic import write_mask_folder
+
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    ph = _drop_subject(str(inbox), "emptymask", seed=60)
+    write_mask_folder(str(inbox / "emptymask" / "mask"),
+                      np.zeros_like(ph.mask), VOX)
+    _age(str(inbox / "emptymask"))
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0,
+                       max_retries=5, retry_backoff=0.0)
+    r1 = svc.scan_once()
+    assert (r1.new, r1.failed) == (1, 1)
+    m = json.loads((out / "emptymask" / "metrics.json").read_text())
+    assert m["valid"] is False
+    assert (out / "emptymask" / ".done").exists()
+    status = json.loads((out / "serve_status.json").read_text())
+    assert status["awaiting_retry"] == []  # terminal, not a retry ghost
+    r2 = svc.scan_once()
+    assert (r2.retried, r2.failed) == (0, 0)
+
+
+def test_serve_deleted_failed_subject_pruned(tmp_path):
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    bad = inbox / "gone"
+    (bad / "mask").mkdir(parents=True)
+    (bad / "xenon.dcm").write_bytes(b"junk")
+    _age(str(bad))
+
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0,
+                       max_retries=0, retry_backoff=3600.0)
+    assert svc.scan_once().failed == 1
+    import shutil
+
+    shutil.rmtree(bad)
+    svc.scan_once()
+    status = json.loads((out / "serve_status.json").read_text())
+    assert status["awaiting_retry"] == []  # no ghost for a deleted subject
+
+
+def test_serve_forever_survives_scan_errors(tmp_path):
+    """One scan's exception must not kill the daemon: it is recorded in
+    the heartbeat and the loop continues."""
+    inbox = tmp_path / "inbox"
+    out = tmp_path / "out"
+    inbox.mkdir()
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=30.0)
+
+    calls = {"n": 0}
+    real_scan = svc.scan_once
+
+    def flaky_scan():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("transient NFS blip")
+        return real_scan()
+
+    svc.scan_once = flaky_scan
+    reports = []
+    n = svc.serve_forever(interval=0.01, max_scans=3, on_scan=reports.append)
+    assert n == 3
+    assert len(reports) == 2  # the errored scan produced no report
+    status = json.loads((out / "serve_status.json").read_text())
+    assert status["scan_errors"] == 1
+    assert "NFS blip" in status["last_error"]["error"]
+    # scan_once called directly still raises (library / --once semantics).
+    svc.scan_once = real_scan
+    import shutil
+
+    shutil.rmtree(inbox)
+    with pytest.raises(FileNotFoundError):
+        svc.scan_once()
 
 
 def test_serve_forever_stops_and_counts(tmp_path):

@@ -307,13 +307,22 @@ def _cmd_serve(args) -> int:
         args.inbox, args.out, config=cfg, batch_size=args.batch,
         use_mesh=not args.no_mesh, ready_marker=args.ready_marker,
         min_age=args.min_age, max_retries=args.max_retries,
-        retry_backoff=args.retry_backoff,
+        retry_backoff=args.retry_backoff, settle_scans=args.settle_scans,
     )
 
+    last_pending = [None]
+
     def on_scan(report):
-        # One JSON line per scan — machine-tailable service output.  Quiet
-        # scans (nothing new, nothing pending) print only with --verbose.
-        if report.new or report.pending or args.verbose:
+        # One JSON line per scan — machine-tailable service output.  Print
+        # whenever the scan did work (incl. retries, which have new=0) or
+        # the pending count changed; a permanently non-conforming inbox
+        # entry thus prints once, not every interval.  --verbose prints
+        # every scan.
+        did_work = (report.new or report.retried or report.resumed
+                    or report.analyzed or report.failed)
+        pending_changed = report.pending != last_pending[0]
+        last_pending[0] = report.pending
+        if did_work or pending_changed or args.verbose:
             print(json.dumps(report.as_dict()), flush=True)
 
     if args.once:
@@ -497,6 +506,11 @@ def main(argv=None) -> int:
     s.add_argument("--retry-backoff", type=float, default=60.0,
                    help="base seconds before the first retry of a failed "
                    "subject (doubles on each further attempt)")
+    s.add_argument("--settle-scans", type=int, default=0,
+                   help="require a subject's file signature to be stable "
+                   "across N consecutive scans before first pickup — use "
+                   "N>=1 for producers that preserve source mtimes "
+                   "(rsync -a), which defeat the --min-age test")
     s.add_argument("--batch", type=int, default=None)
     s.add_argument("--no-mesh", action="store_true")
     s.add_argument("--max-defect", type=int, default=None,

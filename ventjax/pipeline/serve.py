@@ -14,7 +14,15 @@ provides that on top of the cohort engine (pipeline/cohort.py):
 - **arrival gating**: a subject is only picked up once its files stop
   changing (``min_age`` seconds since the newest mtime) or, with
   ``ready_marker``, once that sentinel file appears in the subject dir — so
-  a study still being copied in is never half-decoded;
+  a study still being copied in is never half-decoded.  Producers that
+  preserve source mtimes (``rsync -a``, ``scp -p``) defeat a pure mtime
+  age test; for them set ``settle_scans=N`` to require the subject's file
+  signature (names/sizes/mtimes) to be unchanged across N consecutive
+  scans before first pickup, or use ``ready_marker`` (the explicit
+  protocol).  Independent of ``settle_scans``, a signature that *changed*
+  since the previous scan always holds the subject back one interval —
+  this is what lets an operator fix a failed study in place without the
+  half-written state being picked up;
 - **warm-program serving**: the per-geometry runners (jitted fused pipeline
   + sticky adaptive pads) persist across scans, so after the first study of
   a geometry every later one skips tracing/compilation entirely and goes
@@ -51,20 +59,32 @@ from ventjax.pipeline.cohort import run_cohort
 log = logging.getLogger("ventjax.serve")
 
 
-def _newest_mtime(d: str) -> float:
-    """Newest file mtime under ``d`` (0.0 if empty).
+def _dir_state(d: str) -> Tuple[float, Tuple]:
+    """(newest file mtime, signature) for ``d``.
 
-    Races with a producer mid-copy are benign: a vanished file is skipped
-    and the next scan sees the final state.
+    The signature — sorted (relpath, size, mtime) per file — detects a
+    subject still changing between scans even when the producer preserves
+    source mtimes.  Races with a producer mid-copy are benign: a vanished
+    file is skipped and the next scan sees the final state.
     """
     newest = 0.0
+    sig = []
     for root, _dirs, files in os.walk(d):
         for f in files:
+            p = os.path.join(root, f)
             try:
-                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+                st = os.stat(p)
             except OSError:
-                pass
-    return newest
+                continue
+            newest = max(newest, st.st_mtime)
+            sig.append((os.path.relpath(p, d), st.st_size, st.st_mtime))
+    sig.sort()
+    return newest, tuple(sig)
+
+
+def _newest_mtime(d: str) -> float:
+    """Newest file mtime under ``d`` (0.0 if empty)."""
+    return _dir_state(d)[0]
 
 
 def discover_subjects(
@@ -157,6 +177,7 @@ class WatchService:
         min_age: float = 1.0,
         max_retries: int = 2,
         retry_backoff: float = 60.0,
+        settle_scans: int = 0,
     ):
         self.inbox = inbox
         self.out_dir = out_dir
@@ -167,6 +188,7 @@ class WatchService:
         self.min_age = min_age
         self.max_retries = max_retries
         self.retry_backoff = retry_backoff
+        self.settle_scans = settle_scans
         # Persistent jit caches + sticky pad buckets (cohort._GeometryRunner);
         # shared across every run_cohort call this service makes.
         self.runners: Dict[Tuple, object] = {}
@@ -177,9 +199,17 @@ class WatchService:
         self._served: set = set()
         # Failed subjects awaiting retry (bounded, backed-off, mtime-armed).
         self._failed: Dict[str, _FailureState] = {}
-        self._ledger_lock = threading.Lock()
+        # Last-seen file signature per unserved subject: a change between
+        # scans means the producer is still writing (even with preserved
+        # mtimes), so the subject is held back one more interval.
+        self._sigs: Dict[str, Tuple] = {}
+        # Consecutive scans each unserved subject's signature has been
+        # stable (settle_scans gating for preserved-mtime producers).
+        self._stable: Dict[str, int] = {}
         # Cumulative service counters (serve_status.json heartbeat).
-        self._totals = {"scans": 0, "analyzed": 0, "failed": 0, "resumed": 0}
+        self._totals = {"scans": 0, "analyzed": 0, "failed": 0,
+                        "resumed": 0, "scan_errors": 0}
+        self._last_error: Optional[Dict] = None
         self._started = time.time()
         os.makedirs(out_dir, exist_ok=True)
 
@@ -189,12 +219,36 @@ class WatchService:
             self.inbox, ready_marker=self.ready_marker, min_age=self.min_age
         )
         now = time.time()
+        # Drop bookkeeping for subjects deleted from the inbox so
+        # awaiting_retry never reports ghosts.
+        for sid in list(self._failed):
+            if not os.path.isdir(os.path.join(self.inbox, sid)):
+                del self._failed[sid]
+                self._sigs.pop(sid, None)
+                self._stable.pop(sid, None)
         new: List[Dict] = []
         retries: List[Dict] = []
+        pre_mtimes: Dict[str, float] = {}
         for e in subjects:
             sid = e["id"]
             if sid in self._served:
                 continue
+            mtime, sig = _dir_state(os.path.join(self.inbox, sid))
+            prev_sig = self._sigs.get(sid)
+            self._sigs[sid] = sig
+            changed = prev_sig is not None and sig != prev_sig
+            stable = 0 if (changed or prev_sig is None) \
+                else self._stable.get(sid, 0) + 1
+            self._stable[sid] = stable
+            if changed or stable < self.settle_scans:
+                # Still changing since the last scan (a producer with
+                # preserved mtimes, or an operator fixing it in place), or
+                # not yet observed stable often enough: hold back.
+                pending += 1
+                continue
+            # Record the pre-dispatch mtime so a fix dropped WHILE this
+            # scan's analysis runs still reads as newer on the next scan.
+            pre_mtimes[sid] = mtime
             st = self._failed.get(sid)
             if st is None:
                 new.append(e)
@@ -203,7 +257,7 @@ class WatchService:
             # producer touched the study since the last attempt — "fix the
             # files in place" is the operator's natural remedy; otherwise
             # retry on the backoff schedule while budget remains.
-            if _newest_mtime(os.path.join(self.inbox, sid)) > st.mtime + 1e-6:
+            if mtime > st.mtime + 1e-6:
                 st.attempts = 0
                 retries.append(e)
             elif st.attempts <= self.max_retries and now >= st.next_retry:
@@ -225,7 +279,15 @@ class WatchService:
                 batch_size=self.batch_size, use_mesh=self.use_mesh,
                 resume=True, runners=self.runners,
             )
+        # A .done marker resolves the subject terminally for this inbox
+        # state — including analysis-invalid subjects (e.g. empty mask),
+        # whose export IS their final result; clear any retry state so
+        # awaiting_retry never reports a subject that will not be retried.
         self._served.update(done_ids)
+        for sid in done_ids:
+            self._failed.pop(sid, None)
+            self._sigs.pop(sid, None)
+            self._stable.pop(sid, None)
         analyzed = failed = 0
         for r in results:
             sid = r["id"]
@@ -233,11 +295,24 @@ class WatchService:
                 analyzed += 1
                 self._served.add(sid)
                 self._failed.pop(sid, None)
+                self._sigs.pop(sid, None)
+                self._stable.pop(sid, None)
+            elif os.path.exists(os.path.join(self.out_dir, sid, ".done")):
+                # Invalid metrics but the export completed (analysis-stage
+                # invalidity, e.g. an empty mask): that IS the subject's
+                # final result under the .done protocol — terminal, not a
+                # retry candidate.  Decode failures write no marker and
+                # take the branch below.
+                failed += 1
+                self._served.add(sid)
+                self._failed.pop(sid, None)
+                self._sigs.pop(sid, None)
+                self._stable.pop(sid, None)
             else:
                 failed += 1
                 st = self._failed.setdefault(sid, _FailureState())
                 st.attempts += 1
-                st.mtime = _newest_mtime(os.path.join(self.inbox, sid))
+                st.mtime = pre_mtimes.get(sid, 0.0)
                 st.next_retry = (now + self.retry_backoff
                                  * (2 ** (st.attempts - 1)))
                 if st.attempts > self.max_retries:
@@ -260,14 +335,16 @@ class WatchService:
         self._write_status(report)
         return report
 
-    def _write_status(self, report: ScanReport) -> None:
+    def _write_status(self, report: Optional[ScanReport]) -> None:
         """Atomic heartbeat (`serve_status.json`): liveness + cumulative
-        counters for external monitoring, rewritten after every scan."""
+        counters for external monitoring, rewritten after every scan
+        (report=None when the scan itself errored)."""
         status = {
             "ts": time.time(),
             "started": self._started,
             "inbox": self.inbox,
-            "last_scan": report.as_dict(),
+            "last_scan": None if report is None else report.as_dict(),
+            "last_error": self._last_error,
             "awaiting_retry": sorted(self._failed),
             **self._totals,
         }
@@ -291,9 +368,8 @@ class WatchService:
                 for r in results
             ],
         }
-        with self._ledger_lock:
-            with open(os.path.join(self.out_dir, "serve_log.jsonl"), "a") as f:
-                f.write(json.dumps(rec) + "\n")
+        with open(os.path.join(self.out_dir, "serve_log.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def serve_forever(
         self,
@@ -311,14 +387,30 @@ class WatchService:
         stop = stop or threading.Event()
         n = 0
         while not stop.is_set():
-            report = self.scan_once()
+            try:
+                report = self.scan_once()
+            except Exception as e:  # noqa: BLE001 — daemon must outlive
+                # any one scan: a transient inbox/export-I/O error (NFS
+                # blip, disk full) poisons this scan only, is recorded in
+                # the heartbeat, and the loop retries next interval.
+                # scan_once called directly (library / --once) still
+                # raises normally.
+                log.exception("scan failed; service continues")
+                self._totals["scan_errors"] += 1
+                self._last_error = {"ts": time.time(), "error": repr(e)}
+                try:
+                    self._write_status(None)
+                except OSError:
+                    pass  # out_dir itself unavailable; heartbeat resumes
+                report = None
             n += 1
-            if report.new:
-                log.info("scan %d: %d new subject(s), %d analyzed, "
-                         "%d failed", n, report.new, report.analyzed,
-                         report.failed)
-            if on_scan is not None:
-                on_scan(report)
+            if report is not None:
+                if report.new:
+                    log.info("scan %d: %d new subject(s), %d analyzed, "
+                             "%d failed", n, report.new, report.analyzed,
+                             report.failed)
+                if on_scan is not None:
+                    on_scan(report)
             if max_scans is not None and n >= max_scans:
                 break
             stop.wait(interval)
