@@ -1,0 +1,155 @@
+"""Versioned NPZ study artifact (report.export.save_npz / load_npz).
+
+SURVEY.md §5's checkpoint plan names "a versioned study artifact (NPZ per
+subject: all six channels of C14's 4-D array + metadata JSON)" alongside the
+reference's pickle round-trip (Vent_Analysis.py:542-559).  These tests pin:
+round-trip equality of every array attribute and metadata key, pickle-free
+loading (np.load with allow_pickle=False), VentConfig reconstruction, the
+future-version guard, and the compat ctor resume path.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from ventjax.compat import Vent_Analysis
+from ventjax.config import DEFAULT_CONFIG, VentConfig
+from ventjax.report import export as rexport
+
+
+@pytest.fixture(scope="module")
+def analyzed(tmp_path_factory):
+    from ventjax.io.synthetic import write_study
+
+    root = tmp_path_factory.mktemp("artifact_study")
+    write_study(str(root), shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=11)
+    v = Vent_Analysis(
+        xenon_path=os.path.join(str(root), "xenon.dcm"),
+        mask_path=os.path.join(str(root), "mask"),
+    )
+    v.calculate_VDP()
+    return v
+
+
+def test_round_trip_arrays_and_metadata(analyzed, tmp_path):
+    path = analyzed.saveNpz(str(tmp_path / "study.npz"))
+    state = rexport.load_npz(path)
+    for attr in ("HPvent", "mask", "mask_border", "N4HPvent",
+                 "defectArray", "defectArrayLB", "defectArrayKM",
+                 "defectBorder"):
+        got = state[attr]
+        want = np.asarray(getattr(analyzed, attr))
+        assert got.dtype == want.dtype, attr
+        np.testing.assert_array_equal(got, want, err_msg=attr)
+    # metadata survives with every key; numeric metrics exactly
+    assert set(state["metadata"]) == set(analyzed.metadata)
+    for key in ("SNR", "VDP", "VDP_lb", "VDP_km", "LungVolume",
+                "DefectVolume"):
+        assert state["metadata"][key] == analyzed.metadata[key]
+    assert state["vox"] == [1.5, 1.5, 10.0]
+    # the DICOM ds is intentionally not in the NPZ; it is recorded as skipped
+    assert "ds" not in state
+
+
+def test_loads_without_pickle_or_ventjax_types(analyzed, tmp_path):
+    """The artifact must open under allow_pickle=False — i.e. no object
+    arrays, no class references, nothing executable."""
+    path = analyzed.saveNpz(str(tmp_path / "study.npz"))
+    with np.load(path, allow_pickle=False) as z:
+        names = set(z.files)
+        assert "HPvent" in names and "mask" in names
+        manifest = json.loads(str(z["__ventjax_artifact__"]))
+    assert manifest["artifact_version"] == rexport.ARTIFACT_VERSION
+    assert manifest["skipped"].get("ds", "").startswith("Dataset")
+    assert manifest["config"]["n4_histogram_bins"] == \
+        DEFAULT_CONFIG.n4_histogram_bins
+
+
+def test_ctor_resume_from_npz(analyzed, tmp_path):
+    path = analyzed.saveNpz(str(tmp_path / "study.npz"))
+    v2 = Vent_Analysis(npz_path=path)
+    np.testing.assert_array_equal(v2.N4HPvent, analyzed.N4HPvent)
+    np.testing.assert_array_equal(v2.defectArray, analyzed.defectArray)
+    assert v2.metadata["VDP"] == analyzed.metadata["VDP"]
+    assert isinstance(v2.config, VentConfig)
+    assert v2.config == analyzed.config
+    # resumed state supports downstream work: CI on the restored defect map
+    v2.vox = [float(x) for x in v2.vox]
+    v2.calculate_CI()
+    assert np.asarray(v2.CIarray).shape == np.asarray(v2.defectArray).shape
+
+
+def test_future_version_guard(tmp_path):
+    path = str(tmp_path / "future.npz")
+    manifest = {"artifact_version": rexport.ARTIFACT_VERSION + 1,
+                "scalars": {}, "dicts": {}, "config": None, "skipped": {}}
+    np.savez_compressed(
+        path, __ventjax_artifact__=np.asarray(json.dumps(manifest)))
+    with pytest.raises(ValueError, match="artifact_version"):
+        rexport.load_npz(path)
+
+
+def test_non_artifact_npz_rejected(tmp_path):
+    path = str(tmp_path / "plain.npz")
+    np.savez(path, a=np.zeros(3))
+    with pytest.raises(ValueError, match="not a ventjax study artifact"):
+        rexport.load_npz(path)
+
+
+def test_config_field_drift_keeps_dict(tmp_path):
+    """An artifact whose config has unknown fields (written by a different
+    version) loads with the raw dict instead of failing."""
+    manifest = {
+        "artifact_version": 1, "scalars": {}, "dicts": {},
+        "config": {"no_such_field": 1}, "skipped": {},
+    }
+    path = str(tmp_path / "drift.npz")
+    np.savez_compressed(
+        path, __ventjax_artifact__=np.asarray(json.dumps(manifest)))
+    state = rexport.load_npz(path)
+    assert state["config"] == {"no_such_field": 1}
+
+
+def test_cohort_npz_export_is_ctor_resumable(tmp_path):
+    """cohort --npz writes a per-subject artifact the compat ctor can
+    resume, with config provenance in the manifest."""
+    import json as _json
+
+    from ventjax.cli import main
+    from ventjax.io.synthetic import write_study
+
+    root = tmp_path / "study"
+    write_study(str(root), shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=13)
+    manifest = [{"id": "s0", "xenon": str(root / "xenon.dcm"),
+                 "mask": str(root / "mask")}]
+    mpath = str(tmp_path / "m.json")
+    _json.dump(manifest, open(mpath, "w"))
+    out = tmp_path / "cohort"
+    rc = main(["cohort", "--manifest", mpath, "--out", str(out), "--npz"])
+    assert rc == 0
+    npz = str(out / "s0" / "s0.npz")
+    v = Vent_Analysis(npz_path=npz)
+    metrics = _json.load(open(out / "s0" / "metrics.json"))
+    assert v.metadata["VDP"] == metrics["VDP"]
+    assert np.asarray(v.CIarray).shape == (64, 64, 8)
+    assert isinstance(v.config, VentConfig)
+    # the pipeline wrote the artifact before the .done marker
+    assert os.path.exists(str(out / "s0" / ".done"))
+
+
+def test_cli_npz_flag(tmp_path):
+    from ventjax.cli import main
+    from ventjax.io.synthetic import write_study
+
+    root = tmp_path / "study"
+    write_study(str(root), shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=12)
+    out = tmp_path / "out"
+    rc = main([
+        "analyze", "--xenon", str(root / "xenon.dcm"),
+        "--mask", str(root / "mask"), "--out", str(out),
+        "--no-ci", "--npz", "--filename", "npztest",
+    ])
+    assert rc == 0
+    state = rexport.load_npz(str(out / "npztest.npz"))
+    assert float(state["metadata"]["VDP"]) > 0

@@ -55,7 +55,7 @@ class Vent_Analysis:
 
     def __init__(self, xenon_path=None, mask_path=None, proton_path=None,
                  xenon_array=None, mask_array=None, proton_array=None,
-                 pickle_dict=None, pickle_path=None,
+                 pickle_dict=None, pickle_path=None, npz_path=None,
                  config: VentConfig = DEFAULT_CONFIG):
         self.version = REFERENCE_VERSION
         self.config = config
@@ -90,6 +90,9 @@ class Vent_Analysis:
             # pydicom objects) and raises an actionable error instead of an
             # opaque ModuleNotFoundError.
             pickle_dict = rexport.load_pickle(pickle_path)
+        if npz_path is not None:
+            # versioned NPZ artifact (saveNpz) — the pickle-free resume path
+            pickle_dict = rexport.load_npz(npz_path)
         if pickle_dict is not None:
             self.unPickleMe(pickle_dict)
         if hasattr(self, "mask") and not isinstance(self.vox, str):
@@ -363,6 +366,12 @@ class Vent_Analysis:
     def unPickleMe(self, pickle_dict):
         for attr, value in pickle_dict.items():
             setattr(self, attr, value)
+
+    def saveNpz(self, npz_path="VentArtifact.npz"):
+        """Versioned pickle-free study artifact (report.export.save_npz):
+        every array attribute + metadata + config in one np.savez file that
+        loads anywhere NumPy exists.  Resume with Vent_Analysis(npz_path=...)."""
+        return rexport.save_npz(vars(self), npz_path)
 
     # ---- GUI-pane montage helpers (Vent_Analysis.py:644-645, 628-634,
     # 722-759 updateImages) — the desktop panes as plain RGB arrays --------

@@ -263,6 +263,7 @@ def run_cohort(
     export_workers: int = 4,
     progress: Optional[Callable[[str, int, int], None]] = None,
     runners: Optional[Dict[Tuple, "_GeometryRunner"]] = None,
+    export_npz: bool = False,
 ) -> List[Dict]:
     """Analyze every subject in the manifest; returns per-subject metrics.
 
@@ -357,7 +358,8 @@ def run_cohort(
             for lane, (entry, decoded) in enumerate(batch):
                 lane_pack = jax.tree_util.tree_map(lambda x: x[lane], host)
                 _write_subject(out_dir, entry, decoded, lane_pack,
-                               results, results_lock)
+                               results, results_lock,
+                               npz=export_npz, config=config)
         finally:
             export_slots.release()
 
@@ -367,7 +369,8 @@ def run_cohort(
             for lane, (entry, decoded) in enumerate(batch):
                 lane_pack = jax.tree_util.tree_map(lambda x: x[lane], host)
                 _write_subject(out_dir, entry, decoded, lane_pack,
-                               results, results_lock)
+                               results, results_lock,
+                               npz=export_npz, config=config)
         finally:
             export_slots.release()
 
@@ -507,7 +510,8 @@ def run_cohort(
     return results
 
 
-def _write_subject(out_dir, entry, decoded, pack, results, lock) -> None:
+def _write_subject(out_dir, entry, decoded, pack, results, lock,
+                   npz=False, config=None) -> None:
     """pack: host-side dict with n4 (f32), defect (uint8), ci_map (f32),
     metrics (StudyMetrics) for ONE subject."""
     hp, mask, vox, ds, proton = decoded
@@ -526,6 +530,24 @@ def _write_subject(out_dir, entry, decoded, pack, results, lock) -> None:
         json.dump(metrics, f, indent=2)
     if ds is not None:
         rexport.dicom_to_json(ds, os.path.join(sdir, f"{sid}.json"))
+    if npz:
+        # the versioned NPZ study artifact, ctor-resumable via
+        # Vent_Analysis(npz_path=...); written BEFORE the .done marker so
+        # resume never trusts a torn artifact (same crash-consistency rule
+        # as every other export here)
+        state = {
+            "HPvent": hp, "mask": mask,
+            "N4HPvent": np.asarray(pack["n4"]),
+            "defectArray": np.asarray(pack["defect"], np.float64),
+            "CIarray": np.asarray(pack["ci_map"]),
+            "vox": [float(v) for v in vox],
+            "metadata": metrics,
+        }
+        if proton is not None:
+            state["proton"] = proton
+        if config is not None:
+            state["config"] = config
+        rexport.save_npz(state, os.path.join(sdir, f"{sid}.npz"))
     with open(os.path.join(sdir, ".done"), "w") as f:
         f.write("ok\n")
     with lock:

@@ -178,6 +178,7 @@ class WatchService:
         max_retries: int = 2,
         retry_backoff: float = 60.0,
         settle_scans: int = 0,
+        export_npz: bool = False,
     ):
         self.inbox = inbox
         self.out_dir = out_dir
@@ -189,6 +190,7 @@ class WatchService:
         self.max_retries = max_retries
         self.retry_backoff = retry_backoff
         self.settle_scans = settle_scans
+        self.export_npz = export_npz
         # Persistent jit caches + sticky pad buckets (cohort._GeometryRunner);
         # shared across every run_cohort call this service makes.
         self.runners: Dict[Tuple, object] = {}
@@ -278,6 +280,7 @@ class WatchService:
                 todo, self.out_dir, config=self.config,
                 batch_size=self.batch_size, use_mesh=self.use_mesh,
                 resume=True, runners=self.runners,
+                export_npz=self.export_npz,
             )
         # A .done marker resolves the subject terminally for this inbox
         # state — including analysis-invalid subjects (e.g. empty mask),

@@ -116,6 +116,123 @@ def export_dicom(
     return dicom_path
 
 
+ARTIFACT_VERSION = 1
+_MANIFEST_KEY = "__ventjax_artifact__"
+
+
+def _json_safe(x):
+    """Best-effort JSON conversion for manifest values (DICOM header values,
+    numpy scalars, nested metadata dicts); anything else becomes str(x)."""
+    if x is None or isinstance(x, (str, bool)):
+        return x
+    if isinstance(x, (int, np.integer)):
+        return int(x)
+    if isinstance(x, (float, np.floating)):
+        return float(x)
+    if isinstance(x, (list, tuple)):
+        return [_json_safe(v) for v in x]
+    if isinstance(x, dict):
+        return {str(k): _json_safe(v) for k, v in x.items()}
+    return str(x)
+
+
+def save_npz(state: Dict, npz_path: str) -> str:
+    """Versioned, dependency-free study artifact (SURVEY.md §5 checkpoint
+    plan: "a versioned study artifact (NPZ per subject ...)").
+
+    Unlike the pickle — which mirrors the reference's checkpoint format
+    (Vent_Analysis.py:542-553) and executes arbitrary opcodes on load —
+    the NPZ is a plain `np.savez_compressed` file: every ndarray attribute
+    as a named compressed array plus one JSON manifest string holding the
+    metadata dict, scalar attributes, and the VentConfig.  It loads with
+    `np.load(path, allow_pickle=False)` anywhere NumPy exists, with no
+    ventjax (or pydicom) import required.
+
+    Non-array, non-scalar objects (the DICOM `ds`, a parsed twix object)
+    are recorded by type name under the manifest's "skipped" key — the NPZ
+    is the portable *analysis* artifact; raw-input state stays with the
+    pickle path.
+    """
+    import dataclasses
+
+    arrays: Dict[str, np.ndarray] = {}
+    scalars: Dict = {}
+    dicts: Dict = {}
+    skipped: Dict[str, str] = {}
+    config = None
+    for key, value in state.items():
+        if key == _MANIFEST_KEY:
+            continue
+        if isinstance(value, (np.integer, np.floating, np.bool_)):
+            scalars[key] = _json_safe(value)
+        elif isinstance(value, np.ndarray) or (
+            hasattr(value, "__array__") and not isinstance(value, dict)
+        ):
+            arr = np.asarray(value)
+            if arr.dtype == object:  # not loadable without allow_pickle
+                skipped[key] = f"object-dtype array {arr.shape}"
+            else:
+                arrays[key] = arr
+        elif dataclasses.is_dataclass(value) and not isinstance(value, type):
+            config = dataclasses.asdict(value)
+        elif isinstance(value, dict):
+            dicts[key] = _json_safe(value)
+        elif value is None or isinstance(value, (str, bool, int, float)):
+            scalars[key] = value
+        elif isinstance(value, (list, tuple)):
+            scalars[key] = _json_safe(value)
+        else:
+            skipped[key] = type(value).__name__
+    manifest = {
+        "artifact_version": ARTIFACT_VERSION,
+        "scalars": scalars,
+        "dicts": dicts,
+        "config": config,
+        "skipped": skipped,
+    }
+    np.savez_compressed(
+        npz_path, **arrays,
+        **{_MANIFEST_KEY: np.asarray(json.dumps(manifest))},
+    )
+    return npz_path
+
+
+def load_npz(npz_path: str) -> Dict:
+    """Load a save_npz artifact back into a state dict (the unPickleMe
+    shape): arrays by name, scalars/dicts from the manifest, and the
+    VentConfig reconstructed when its fields still match this version.
+
+    Artifacts written by a NEWER ventjax (higher artifact_version) raise a
+    clear ValueError instead of silently dropping whatever the newer format
+    added."""
+    with np.load(npz_path, allow_pickle=False) as z:
+        if _MANIFEST_KEY not in z.files:
+            raise ValueError(
+                f"{npz_path} is not a ventjax study artifact "
+                f"(missing {_MANIFEST_KEY} manifest)")
+        manifest = json.loads(str(z[_MANIFEST_KEY]))
+        version = manifest.get("artifact_version")
+        if not isinstance(version, int) or version > ARTIFACT_VERSION:
+            raise ValueError(
+                f"{npz_path} has artifact_version {version!r}; this ventjax "
+                f"reads up to {ARTIFACT_VERSION}. Upgrade ventjax to load it.")
+        state: Dict = {k: z[k] for k in z.files if k != _MANIFEST_KEY}
+    state.update(manifest.get("scalars", {}))
+    state.update(manifest.get("dicts", {}))
+    cfg = manifest.get("config")
+    if cfg is not None:
+        from ventjax.config import VentConfig
+
+        try:
+            state["config"] = VentConfig(
+                **{k: tuple(v) if isinstance(v, list) else v
+                   for k, v in cfg.items()})
+        except TypeError:
+            # field drift across versions: keep the raw dict rather than fail
+            state["config"] = cfg
+    return state
+
+
 def save_pickle(state: Dict, pickle_path: str) -> str:
     """Pickle every picklable entry of a study state dict
     (the reference's checkpoint format, Vent_Analysis.py:542-553)."""
