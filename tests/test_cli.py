@@ -74,11 +74,22 @@ def test_cli_cohort_with_error_isolation_and_resume(study_root, tmp_path, capsys
         byid = {r["id"]: r for r in t.to_pylist()}
         assert byid["s0"]["VDP"] == pytest.approx(m0["VDP"])
         assert not byid["bad"]["valid"] or byid["bad"].get("error")
+    # cohort aggregate summary: stats over the two valid lanes, the decode
+    # failure accounted for explicitly (pipeline.summary)
+    summ = json.load(open(os.path.join(out, "cohort_summary.json")))
+    assert summ["subjects"] == 3 and summ["valid"] == 2
+    assert summ["failed"] == [{"id": "bad", "error": "decode_failed"}]
+    assert summ["metrics"]["VDP"]["n"] == 2
+    assert summ["metrics"]["VDP"]["mean"] == pytest.approx(m0["VDP"])
+    assert summ["metrics"]["VDP"]["std"] == pytest.approx(0.0)
     # resume: done markers short-circuit
     rc = main(["cohort", "--manifest", mpath, "--out", out])
     assert rc == 0
     report = json.loads(capsys.readouterr().out.splitlines()[-1])
     assert report["valid"] == 2
+    # the summary is rebuilt from the re-read metrics.json files on resume
+    summ = json.load(open(os.path.join(out, "cohort_summary.json")))
+    assert summ["metrics"]["VDP"]["n"] == 2 and summ["valid"] == 2
 
 
 def test_cli_analyze_mask_edit(study_root, tmp_path, capsys):
@@ -304,3 +315,97 @@ def test_manifest_id_must_be_string(tmp_path):
     json.dump([{"id": ["a"], "xenon": "x", "mask": "m"}], open(p, "w"))
     with pytest.raises(ValueError, match="non-empty string"):
         load_manifest(p)
+
+
+def test_cli_export_regenerates_reports(study_root, tmp_path, capsys):
+    """`ventjax export`: the GUI's Load-Pickle -> Export workflow
+    (Vent_Analysis.py:919-941, 943-1013) over both artifact formats."""
+    out = str(tmp_path / "a")
+    rc = main([
+        "analyze", "--xenon", f"{study_root}/xenon.dcm",
+        "--mask", f"{study_root}/mask", "--out", out,
+        "--max-defect", "1024", "--filename", "study", "--npz",
+    ])
+    assert rc == 0
+    orig = json.loads(capsys.readouterr().out)
+
+    # pickle round: everything regenerates (the pickle carries the DICOM ds)
+    out2 = str(tmp_path / "from_pkl")
+    rc = main(["export", "--pickle", os.path.join(out, "study.pkl"),
+               "--out", out2])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["metrics"]["VDP"] == pytest.approx(orig["VDP"])
+    assert rep["metrics"]["CI"] == pytest.approx(orig["CI"])
+    assert rep["skipped"] == []
+    files = set(os.listdir(out2))
+    assert {"study.png", "study_dataArray.nii", "study.json", "study.pkl",
+            "defectDICOMS"} <= files
+
+    # NPZ round: no DICOM dataset inside -> header JSON + defect DICOMs are
+    # reported skipped, array-backed exports regenerate with the same metrics
+    out3 = str(tmp_path / "from_npz")
+    rc = main(["export", "--npz-in", os.path.join(out, "study.npz"),
+               "--out", out3])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["metrics"]["VDP"] == pytest.approx(orig["VDP"])
+    assert len(rep["skipped"]) == 2
+    files = set(os.listdir(out3))
+    assert {"study.png", "study_dataArray.nii", "study.pkl"} <= files
+    assert "study.json" not in files
+
+
+def test_cli_export_recalculate_new_thresh(study_root, tmp_path, capsys):
+    """--recalculate re-analyzes the stored arrays (no raw DICOMs needed):
+    a higher mean-anchored threshold must grow the defect fraction.  The
+    phantom's masked intensities are sharply bimodal (defects ~0, normal
+    ~1x mean, noise sigma ~ mean/SNR), so the threshold only moves the
+    defect set once it crosses the normal cluster — 1.1 does."""
+    out = str(tmp_path / "a")
+    rc = main([
+        "analyze", "--xenon", f"{study_root}/xenon.dcm",
+        "--mask", f"{study_root}/mask", "--out", out,
+        "--max-defect", "1024", "--filename", "study", "--no-ci",
+    ])
+    assert rc == 0
+    orig = json.loads(capsys.readouterr().out)
+
+    out2 = str(tmp_path / "re")
+    rc = main(["export", "--pickle", os.path.join(out, "study.pkl"),
+               "--out", out2, "--recalculate", "--thresh", "1.1", "--no-ci"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["metrics"]["VDP"] > orig["VDP"]
+    assert os.path.exists(os.path.join(out2, "study.png"))
+
+
+def test_cli_export_from_cohort_slim_npz(study_root, tmp_path, capsys):
+    """Cohort per-subject NPZs are slim (no mask_border, metadata=metrics);
+    export recomputes the derived state and regenerates the reports."""
+    manifest = [{"id": "s0", "xenon": f"{study_root}/xenon.dcm",
+                 "mask": f"{study_root}/mask"}]
+    mpath = str(tmp_path / "m.json")
+    json.dump(manifest, open(mpath, "w"))
+    out = str(tmp_path / "cohort")
+    rc = main(["cohort", "--manifest", mpath, "--out", out,
+               "--max-defect", "1024", "--npz"])
+    assert rc == 0
+    capsys.readouterr()
+    metrics = json.load(open(os.path.join(out, "s0", "metrics.json")))
+
+    out2 = str(tmp_path / "re")
+    rc = main(["export", "--npz-in", os.path.join(out, "s0", "s0.npz"),
+               "--out", out2])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["metrics"]["VDP"] == pytest.approx(metrics["VDP"])
+    assert os.path.exists(os.path.join(out2, "s0.png"))
+
+
+def test_cli_export_rejects_bad_artifacts(tmp_path, capsys):
+    bad = str(tmp_path / "not_an_artifact.npz")
+    np.savez(bad, x=np.zeros(3))
+    rc = main(["export", "--npz-in", bad, "--out", str(tmp_path / "o")])
+    assert rc == 2
+    assert "artifact" in capsys.readouterr().err

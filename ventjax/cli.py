@@ -138,6 +138,8 @@ def _cmd_analyze(args) -> int:
     v.exportNifti(args.out, file_name)
     v.dicom_to_json(v.ds, os.path.join(args.out, f"{file_name}.json"))
     v.pickleMe(os.path.join(args.out, f"{file_name}.pkl"))
+    if args.npz:
+        v.saveNpz(os.path.join(args.out, f"{file_name}.npz"))
     v.screenShot(os.path.join(args.out, f"{file_name}.png"))
     if args.histogram:
         v.exportHistogram(os.path.join(args.out, f"{file_name}_hist.png"))
@@ -161,6 +163,86 @@ def _jsonable(x):
         return str(x)
 
 
+def _cmd_export(args) -> int:
+    """Regenerate report exports from a saved study artifact.
+
+    The reference GUI's 'Load Pickle' button followed by 'Export'
+    (Vent_Analysis.py:919-941, 943-1013), and its playground's
+    pickle-reload + re-screenshot workflow (vent playground.py) — as one
+    command over either checkpoint format (pickle or the versioned NPZ).
+    `--recalculate` reruns the analysis on the stored arrays first, so an
+    archived study can be re-analyzed (e.g. a new --thresh) without the
+    raw DICOMs.
+    """
+    import numpy as np
+
+    from ventjax.compat import Vent_Analysis
+    from ventjax.report.export import ReferencePickleError
+
+    src = args.pickle or args.npz_in
+    try:
+        if args.pickle:
+            v = Vent_Analysis(pickle_path=args.pickle)
+        else:
+            v = Vent_Analysis(npz_path=args.npz_in)
+    except (ReferencePickleError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if not hasattr(v, "HPvent") or not hasattr(v, "mask"):
+        print(f"error: {src} holds no HPvent/mask arrays; nothing to export",
+              file=sys.stderr)
+        return 2
+    # Slim artifacts (cohort NPZs) carry only the analysis arrays; derived
+    # display state is recomputed, not required.
+    if not hasattr(v, "mask_border"):
+        v.mask_border = v.calculateBorder(np.asarray(v.mask))
+    if args.recalculate:
+        v.calculate_VDP(thresh=args.thresh)
+        if not args.no_ci:
+            v.calculate_CI()
+    analyzed = not (isinstance(v.defectArray, str)
+                    or isinstance(v.N4HPvent, str))
+
+    file_name = (args.filename or str(v.metadata.get("fileName") or "")
+                 or os.path.splitext(os.path.basename(src))[0])
+    os.makedirs(args.out, exist_ok=True)
+    written, skipped = [], []
+    written.append(v.exportNifti(args.out, file_name))
+    v.pickleMe(os.path.join(args.out, f"{file_name}.pkl"))
+    written.append(os.path.join(args.out, f"{file_name}.pkl"))
+    if args.npz:
+        written.append(v.saveNpz(os.path.join(args.out, f"{file_name}.npz")))
+    if not isinstance(v.ds, str):
+        jpath = os.path.join(args.out, f"{file_name}.json")
+        v.dicom_to_json(v.ds, jpath)
+        written.append(jpath)
+    else:
+        skipped.append("header JSON (artifact carries no DICOM dataset)")
+    if analyzed:
+        ppath = os.path.join(args.out, f"{file_name}.png")
+        v.screenShot(ppath)
+        written.append(ppath)
+        if args.histogram:
+            hpath = os.path.join(args.out, f"{file_name}_hist.png")
+            v.exportHistogram(hpath)
+            written.append(hpath)
+        if not isinstance(v.ds, str):
+            written.append(v.exportDICOM(
+                v.ds, args.out, optional_text=file_name, forPACS=True,
+                compress=args.compress_dicom))
+        else:
+            skipped.append("defect DICOMs (artifact carries no DICOM dataset)")
+    else:
+        skipped.append("screenshot + defect DICOMs (artifact not analyzed; "
+                       "use --recalculate)")
+    summary = {k: _jsonable(v.metadata.get(k, "")) for k in
+               ("SNR", "VDP", "VDP_lb", "VDP_km", "LungVolume",
+                "DefectVolume", "CI")}
+    print(json.dumps({"written": written, "skipped": skipped,
+                      "metrics": summary}, indent=2))
+    return 0
+
+
 def _cmd_cohort(args) -> int:
     from ventjax.pipeline.cohort import load_manifest, run_cohort
     from ventjax.utils.profiling import trace
@@ -180,10 +262,17 @@ def _cmd_cohort(args) -> int:
         results = run_cohort(
             manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
+            export_npz=args.npz,
         )
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
                       "out": args.out}))
+    # cohort-level aggregate summary: distribution stats per metric plus an
+    # explicit accounting of failed / flagged lanes (pipeline.summary)
+    from ventjax.pipeline.summary import cohort_summary
+
+    with open(os.path.join(args.out, "cohort_summary.json"), "w") as f:
+        json.dump(cohort_summary(results), f, indent=2)
     # cohort-level CSV (+ parquet when pyarrow exists) aggregation
     import csv
     keys = sorted({k for r in results for k in r})
@@ -308,6 +397,7 @@ def _cmd_serve(args) -> int:
         use_mesh=not args.no_mesh, ready_marker=args.ready_marker,
         min_age=args.min_age, max_retries=args.max_retries,
         retry_backoff=args.retry_backoff, settle_scans=args.settle_scans,
+        export_npz=args.npz,
     )
 
     last_pending = [None]
@@ -437,9 +527,42 @@ def main(argv=None) -> int:
     a.add_argument("--compress-dicom", action="store_true",
                    help="write the defect-overlay DICOMs RLE Lossless "
                    "compressed (PS3.5 Annex G) instead of Explicit VR LE")
+    a.add_argument("--npz", action="store_true",
+                   help="also export the versioned NPZ study artifact "
+                   "(pickle-free; loads anywhere NumPy exists)")
     a.add_argument("--denoise", type=float, default=None, metavar="THRESH",
                    help="Haar-wavelet denoise the xenon volume first")
     a.set_defaults(fn=_cmd_analyze)
+
+    e = sub.add_parser(
+        "export",
+        help="regenerate report exports from a saved study artifact "
+        "(pickle or NPZ) — the GUI's Load-Pickle + Export workflow",
+    )
+    esrc = e.add_mutually_exclusive_group(required=True)
+    esrc.add_argument("--pickle", default=None, metavar="STUDY.pkl",
+                      help="study pickle (pickleMe / analyze output)")
+    esrc.add_argument("--npz-in", default=None, metavar="STUDY.npz",
+                      help="versioned NPZ study artifact (saveNpz / "
+                      "analyze --npz / cohort --npz output)")
+    e.add_argument("--out", required=True)
+    e.add_argument("--filename", default=None,
+                   help="output basename (default: the artifact's stored "
+                   "fileName, else the input file's stem)")
+    e.add_argument("--recalculate", action="store_true",
+                   help="rerun VDP (+CI) on the stored arrays before "
+                   "exporting — re-analyze without the raw DICOMs")
+    e.add_argument("--thresh", type=float, default=0.6,
+                   help="mean-anchored defect threshold for --recalculate")
+    e.add_argument("--no-ci", action="store_true",
+                   help="skip CI during --recalculate")
+    e.add_argument("--histogram", action="store_true",
+                   help="also export the masked-signal histogram")
+    e.add_argument("--compress-dicom", action="store_true",
+                   help="RLE Lossless defect-overlay DICOMs")
+    e.add_argument("--npz", action="store_true",
+                   help="also (re)write the versioned NPZ artifact")
+    e.set_defaults(fn=_cmd_export)
 
     ts = sub.add_parser(
         "train-seg",
@@ -469,6 +592,8 @@ def main(argv=None) -> int:
     c.add_argument("--fresh", action="store_true", help="ignore done-markers")
     c.add_argument("--profile-dir", default=None,
                    help="emit a jax.profiler trace (TensorBoard/Perfetto)")
+    c.add_argument("--npz", action="store_true",
+                   help="also write each subject's versioned NPZ artifact")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
     c.add_argument("--deterministic", action="store_true",
@@ -511,6 +636,8 @@ def main(argv=None) -> int:
                    "across N consecutive scans before first pickup — use "
                    "N>=1 for producers that preserve source mtimes "
                    "(rsync -a), which defeat the --min-age test")
+    s.add_argument("--npz", action="store_true",
+                   help="also write each subject's versioned NPZ artifact")
     s.add_argument("--batch", type=int, default=None)
     s.add_argument("--no-mesh", action="store_true")
     s.add_argument("--max-defect", type=int, default=None,
