@@ -1,6 +1,10 @@
 """Worker for the 4-process multi-host COHORT-DRIVER test.
 
-Usage: python tests/_multihost_cohort_worker.py <port> <pid> <nproc> <workdir>
+Usage: python tests/_multihost_cohort_worker.py <port> <pid> <nproc> <workdir> [shard]
+
+With the optional "shard" argument the driver runs with shard_export=True:
+every process writes its OWN batch lanes' files (per-host file-sharding
+fan-out) instead of process 0 exporting everything.
 
 Each of the 4 processes contributes 2 fake CPU devices (8-device global
 ("batch",) mesh).  All processes run the streaming cohort driver on the
@@ -16,6 +20,7 @@ import sys
 
 port, pid, nproc, workdir = (sys.argv[1], int(sys.argv[2]),
                              int(sys.argv[3]), sys.argv[4])
+shard_export = len(sys.argv) > 5 and sys.argv[5] == "shard"
 
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_PLATFORMS"] = "cpu"
@@ -47,7 +52,7 @@ cfg = DEFAULT_CONFIG.replace(
 )
 
 results = run_cohort(manifest, out, config=cfg, batch_size=2 * nproc,
-                     use_mesh=True)
+                     use_mesh=True, shard_export=shard_export)
 assert len(results) == len(manifest), (len(results), len(manifest))
 valid = sum(1 for r in results if r.get("valid"))
 assert valid == len(manifest), results
@@ -62,7 +67,7 @@ if pid == 0:
 # Resume: must short-circuit to a no-op on every process (process 0's
 # done-markers broadcast; no divergent collectives).
 results2 = run_cohort(manifest, out, config=cfg, batch_size=2 * nproc,
-                      use_mesh=True)
+                      use_mesh=True, shard_export=shard_export)
 assert len(results2) == len(manifest)
 if pid == 0:
     # exactly-once export: nothing was rewritten on resume

@@ -153,3 +153,36 @@ def test_cli_npz_flag(tmp_path):
     assert rc == 0
     state = rexport.load_npz(str(out / "npztest.npz"))
     assert float(state["metadata"]["VDP"]) > 0
+
+
+def test_npz_mutation_fuzz(tmp_path):
+    """Truncations and byte-flips of the artifact must surface as clean
+    ValueError/OSError (np.load's internals otherwise leak BadZipFile,
+    zlib.error, and tokenize.TokenError), never crash or hang."""
+    state = {"HPvent": np.random.default_rng(3).random((16, 16, 4),
+                                                       np.float32),
+             "mask": np.ones((16, 16, 4)),
+             "metadata": {"VDP": 5.0}, "vox": [1.5, 1.5, 10.0]}
+    p = str(tmp_path / "a.npz")
+    rexport.save_npz(state, p)
+    raw = open(p, "rb").read()
+    rng = np.random.default_rng(0)
+    mut = str(tmp_path / "mut.npz")
+    ok = clean = 0
+    for i in range(200):
+        if i % 2 == 0:
+            data = raw[:int(rng.integers(1, len(raw)))]
+        else:
+            b = bytearray(raw)
+            j = int(rng.integers(len(b)))
+            b[j] ^= 1 << int(rng.integers(8))
+            data = bytes(b)
+        with open(mut, "wb") as f:
+            f.write(data)
+        try:
+            rexport.load_npz(mut)
+            ok += 1  # benign flip in array payload bytes
+        except (ValueError, OSError, EOFError, KeyError):
+            clean += 1
+    assert ok + clean == 200
+    assert clean > 100  # most mutations must be detected, not absorbed

@@ -214,3 +214,69 @@ def test_four_process_failure_injection_and_recovery(tmp_path):
         if s in mtimes:  # exactly-once: pre-crash exports untouched
             assert os.stat(os.path.join(
                 sdir, "metrics.json")).st_mtime_ns == mtimes[s], s
+
+
+def test_four_process_sharded_export(tmp_path):
+    """shard_export=True: each process exports its OWN batch lanes (only
+    the small metrics pytree is allgathered; result volumes never leave
+    their owning host).  6 subjects over an 8-lane batch on 4 processes =
+    2 lanes each, so processes 0-2 must each have written files and the
+    metrics must match the process-0-exports path lane for lane."""
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo")
+    from ventjax.io.synthetic import write_study
+
+    workdir = str(tmp_path)
+    manifest = []
+    for i in range(6):
+        root = os.path.join(workdir, f"study{i}")
+        write_study(root, shape=(32, 32, 8), vox=(1.5, 1.5, 10.0),
+                    seed=50 + i, with_proton=False)
+        manifest.append({"id": f"s{i}", "xenon": f"{root}/xenon.dcm",
+                         "mask": f"{root}/mask"})
+    with open(os.path.join(workdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_cohort_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), "4", workdir,
+             "shard"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(4)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_COHORT_OK" in out, out
+    # identical metrics on every process
+    lines = [next(l for l in o.splitlines() if "MULTIHOST_COHORT_OK" in l)
+             for o in outs]
+    assert len({l.split("vdps=")[1] for l in lines}) == 1
+    # every subject exported exactly once, and the export work was actually
+    # sharded: lanes 0..5 of the 8-lane batch live on processes 0,1,2
+    # (2 lanes each); process 3's lanes are padding
+    exporters = set()
+    for i in range(6):
+        sdir = os.path.join(workdir, "out", f"s{i}")
+        assert os.path.exists(os.path.join(sdir, ".done"))
+        m = json.load(open(os.path.join(sdir, "metrics.json")))
+        assert m["valid"]
+        exporters.add(m["export_process"])
+    assert exporters == {0, 1, 2}, exporters

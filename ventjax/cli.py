@@ -262,7 +262,7 @@ def _cmd_cohort(args) -> int:
         results = run_cohort(
             manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
-            export_npz=args.npz,
+            export_npz=args.npz, shard_export=args.shard_export,
         )
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
@@ -594,6 +594,10 @@ def main(argv=None) -> int:
                    help="emit a jax.profiler trace (TensorBoard/Perfetto)")
     c.add_argument("--npz", action="store_true",
                    help="also write each subject's versioned NPZ artifact")
+    c.add_argument("--shard-export", action="store_true",
+                   help="multi-host: each process exports its own batch "
+                   "lanes (shared filesystem required) instead of "
+                   "process 0 exporting everything")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
     c.add_argument("--deterministic", action="store_true",

@@ -264,6 +264,7 @@ def run_cohort(
     progress: Optional[Callable[[str, int, int], None]] = None,
     runners: Optional[Dict[Tuple, "_GeometryRunner"]] = None,
     export_npz: bool = False,
+    shard_export: bool = False,
 ) -> List[Dict]:
     """Analyze every subject in the manifest; returns per-subject metrics.
 
@@ -278,6 +279,16 @@ def run_cohort(
     a known geometry skip straight to device dispatch instead of re-tracing.
     The caller must then hold config/batch_size/use_mesh fixed across calls
     (runners bake them in at construction).
+
+    `shard_export` (multi-host only): instead of allgathering the full
+    result volumes to every host and having process 0 write every file,
+    each process pulls ONLY its addressable batch-axis shards to host and
+    exports its own lanes — the per-host file-sharding fan-out of SURVEY.md
+    §5's comm-backend row.  Device→host traffic and file I/O both divide by
+    process_count.  Requires a filesystem shared across processes (resume
+    broadcasts process 0's view of the done-markers, and the cohort's
+    outputs are expected in one place); with per-host local disks keep the
+    default process-0 export instead.
     """
     multihost = jax.process_count() > 1
     os.makedirs(out_dir, exist_ok=True)
@@ -374,6 +385,19 @@ def run_cohort(
         finally:
             export_slots.release()
 
+    def _export_owned_lanes(owned):
+        """File I/O for this process's own lanes (shard_export worker).
+        Results were already recorded lane-for-lane on the dispatch thread
+        (identically on every process), so record=False here."""
+        try:
+            for entry, decoded, lane_pack in owned:
+                _write_subject(out_dir, entry, decoded, lane_pack,
+                               results, results_lock,
+                               npz=export_npz, config=config,
+                               record=False, exporter=jax.process_index())
+        finally:
+            export_slots.release()
+
     def submit_export(runner, batch, res, pads, is_retry=False):
         nonlocal n_done
         # Transfer ONLY what the export writes: n4, defect, ci_map,
@@ -387,7 +411,62 @@ def run_cohort(
             "ci_map": res.ci_map,
             "metrics": res.metrics,
         }
-        if multihost:
+        if multihost and shard_export:
+            # Allgather ONLY the small per-lane metrics (the overflow/retry
+            # decision must be identical on every process); the big result
+            # volumes are never gathered — each process reads just its own
+            # addressable batch-axis shards and exports those lanes.
+            from jax.experimental import multihost_utils
+
+            host_metrics = jax.tree_util.tree_map(
+                lambda x: np.asarray(
+                    multihost_utils.process_allgather(x, tiled=True)),
+                pack["metrics"],
+            )
+            n = len(batch)
+            ci_ovf = bool(host_metrics.ci_overflow[:n].any())
+            n4_ovf = bool(host_metrics.n4_overflow[:n].any())
+            if (ci_ovf or n4_ovf) and runner.bump_for_retry(
+                ci_ovf, n4_ovf, pads
+            ):
+                with retry_lock:
+                    retry_queue.append((runner, batch))
+            else:
+                # Every process records every lane's metrics (identical
+                # results lists everywhere) ...
+                with results_lock:
+                    for lane, (entry, _) in enumerate(batch):
+                        results.append({
+                            "id": entry["id"],
+                            **jax.tree_util.tree_map(
+                                lambda x: x[lane],
+                                host_metrics).as_dict(),
+                        })
+                # ... then assembles host packs for the lanes whose device
+                # shards live on THIS process (shard.index names the global
+                # batch slice, so no device-order assumption).  The
+                # np.asarray shard reads stay on the dispatch thread like
+                # every other device touch.
+                local: Dict[int, Dict] = {}
+                for k in ("n4", "defect", "ci_map"):
+                    for s in pack[k].addressable_shards:
+                        lo = s.index[0].start or 0
+                        data = np.asarray(s.data)
+                        for off in range(data.shape[0]):
+                            if lo + off < n:
+                                local.setdefault(lo + off, {})[k] = data[off]
+                owned = [
+                    (batch[lane][0], batch[lane][1],
+                     {**local[lane],
+                      "metrics": jax.tree_util.tree_map(
+                          lambda x: x[lane], host_metrics)})
+                    for lane in sorted(local)
+                ]
+                if owned:
+                    export_slots.acquire()
+                    export_futures.append(
+                        export_pool.submit(_export_owned_lanes, owned))
+        elif multihost:
             # Collectives must issue in the same order on every process, so
             # the global->host gather (and the overflow check) stays on the
             # dispatch thread; only process 0 writes files, in workers.
@@ -511,14 +590,19 @@ def run_cohort(
 
 
 def _write_subject(out_dir, entry, decoded, pack, results, lock,
-                   npz=False, config=None) -> None:
+                   npz=False, config=None, record=True,
+                   exporter=None) -> None:
     """pack: host-side dict with n4 (f32), defect (uint8), ci_map (f32),
-    metrics (StudyMetrics) for ONE subject."""
+    metrics (StudyMetrics) for ONE subject.  record=False skips the
+    results append (shard_export records metrics on the dispatch thread);
+    exporter stamps which process wrote the files into metrics.json."""
     hp, mask, vox, ds, proton = decoded
     sid = entry["id"]
     sdir = os.path.join(out_dir, sid)
     os.makedirs(sdir, exist_ok=True)
     metrics = {"id": sid, **pack["metrics"].as_dict()}
+    if exporter is not None:
+        metrics["export_process"] = int(exporter)
     rexport.export_nifti(
         sdir, sid, hp, mask,
         proton=proton,
@@ -550,5 +634,6 @@ def _write_subject(out_dir, entry, decoded, pack, results, lock,
         rexport.save_npz(state, os.path.join(sdir, f"{sid}.npz"))
     with open(os.path.join(sdir, ".done"), "w") as f:
         f.write("ok\n")
-    with lock:
-        results.append(metrics)
+    if record:
+        with lock:
+            results.append(metrics)

@@ -204,19 +204,35 @@ def load_npz(npz_path: str) -> Dict:
 
     Artifacts written by a NEWER ventjax (higher artifact_version) raise a
     clear ValueError instead of silently dropping whatever the newer format
-    added."""
-    with np.load(npz_path, allow_pickle=False) as z:
-        if _MANIFEST_KEY not in z.files:
-            raise ValueError(
-                f"{npz_path} is not a ventjax study artifact "
-                f"(missing {_MANIFEST_KEY} manifest)")
-        manifest = json.loads(str(z[_MANIFEST_KEY]))
-        version = manifest.get("artifact_version")
-        if not isinstance(version, int) or version > ARTIFACT_VERSION:
-            raise ValueError(
-                f"{npz_path} has artifact_version {version!r}; this ventjax "
-                f"reads up to {ARTIFACT_VERSION}. Upgrade ventjax to load it.")
-        state: Dict = {k: z[k] for k in z.files if k != _MANIFEST_KEY}
+    added.  Corrupt/truncated files raise ValueError too — np.load's
+    internals otherwise leak zipfile.BadZipFile, zlib.error, and even
+    tokenize.TokenError (its .npy header parser) on mutated bytes."""
+    import tokenize
+    import zipfile
+    import zlib
+
+    with open(npz_path, "rb") as f:
+        if f.read(2) != b"PK":
+            # Not a zip container at all: np.load would fall through to its
+            # pickle loader and emit a misleading "pickled data" error.
+            raise ValueError(f"{npz_path} is not an NPZ file (no zip magic)")
+    try:
+        with np.load(npz_path, allow_pickle=False) as z:
+            if _MANIFEST_KEY not in z.files:
+                raise ValueError(
+                    f"{npz_path} is not a ventjax study artifact "
+                    f"(missing {_MANIFEST_KEY} manifest)")
+            manifest = json.loads(str(z[_MANIFEST_KEY]))
+            version = manifest.get("artifact_version")
+            if not isinstance(version, int) or version > ARTIFACT_VERSION:
+                raise ValueError(
+                    f"{npz_path} has artifact_version {version!r}; this "
+                    f"ventjax reads up to {ARTIFACT_VERSION}. Upgrade "
+                    f"ventjax to load it.")
+            state: Dict = {k: z[k] for k in z.files if k != _MANIFEST_KEY}
+    except (zipfile.BadZipFile, zlib.error, tokenize.TokenError) as e:
+        raise ValueError(
+            f"{npz_path} is corrupt or not an NPZ file: {e}") from e
     state.update(manifest.get("scalars", {}))
     state.update(manifest.get("dicts", {}))
     cfg = manifest.get("config")
