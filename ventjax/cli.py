@@ -453,6 +453,14 @@ def _cmd_gui(args) -> int:
     return 0
 
 
+def _cmd_doctor(args) -> int:
+    from ventjax.utils.doctor import format_report, run_doctor
+
+    report = run_doctor(full=args.full)
+    print(format_report(report))
+    return 0 if report["ok"] else 1
+
+
 def _cmd_info(args) -> int:
     import dataclasses
 
@@ -667,6 +675,16 @@ def main(argv=None) -> int:
     g.add_argument("--archive", default=None, help="archive pickle dir")
     g.add_argument("--user", default=None)
     g.set_defaults(fn=_cmd_gui)
+
+    d = sub.add_parser(
+        "doctor",
+        help="deployment self-check: device probe, compile cache, codec "
+        "round-trip, pipeline-vs-oracle self-test; exit 0 iff healthy",
+    )
+    d.add_argument("--full", action="store_true",
+                   help="flagship-geometry self-test incl. CI (slower; "
+                   "times the device path)")
+    d.set_defaults(fn=_cmd_doctor)
 
     i = sub.add_parser("info", help="version / device info")
     i.set_defaults(fn=_cmd_info)
