@@ -186,3 +186,40 @@ def test_npz_mutation_fuzz(tmp_path):
             clean += 1
     assert ok + clean == 200
     assert clean > 100  # most mutations must be detected, not absorbed
+
+
+def test_non_config_dataclass_skipped_config_preserved(tmp_path):
+    """A dataclass under any key but 'config' (e.g. a parsed TwixScan in
+    raw_twix, which embeds ndarrays json can't serialize) is recorded as
+    skipped; the real VentConfig is neither crashed on nor replaced."""
+    import dataclasses
+
+    @dataclasses.dataclass
+    class FakeTwix:
+        data: np.ndarray
+
+    state = {"HPvent": np.ones((4, 4, 2), np.float32),
+             "config": DEFAULT_CONFIG,
+             "raw_twix": FakeTwix(np.zeros(3)),
+             "metadata": {"VDP": 1.0}}
+    p = rexport.save_npz(state, str(tmp_path / "t.npz"))
+    got = rexport.load_npz(p)
+    assert isinstance(got["config"], VentConfig)
+    assert got["config"] == DEFAULT_CONFIG
+    assert "raw_twix" not in got
+    with np.load(p, allow_pickle=False) as z:
+        manifest = json.loads(str(z["__ventjax_artifact__"]))
+    assert manifest["skipped"]["raw_twix"] == "FakeTwix"
+
+
+def test_save_npz_appends_suffix(tmp_path):
+    """np.savez appends .npz to suffix-less paths; the returned path must
+    name the file actually written."""
+    p = rexport.save_npz({"HPvent": np.ones(3)}, str(tmp_path / "study"))
+    assert p.endswith("study.npz") and os.path.exists(p)
+    rexport.load_npz(p)
+
+
+def test_ctor_rejects_ambiguous_resume(tmp_path):
+    with pytest.raises(ValueError, match="at most one"):
+        Vent_Analysis(pickle_path="a.pkl", npz_path="b.npz")

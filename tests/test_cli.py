@@ -396,11 +396,21 @@ def test_cli_export_from_cohort_slim_npz(study_root, tmp_path, capsys):
 
     out2 = str(tmp_path / "re")
     rc = main(["export", "--npz-in", os.path.join(out, "s0", "s0.npz"),
-               "--out", out2])
+               "--out", out2, "--histogram"])
     assert rc == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["metrics"]["VDP"] == pytest.approx(metrics["VDP"])
     assert os.path.exists(os.path.join(out2, "s0.png"))
+    # slim metadata (= metrics dict, no PatientName) must not crash the
+    # histogram title
+    assert os.path.exists(os.path.join(out2, "s0_hist.png"))
+
+
+def test_cli_export_missing_file_is_clean_error(tmp_path, capsys):
+    rc = main(["export", "--npz-in", str(tmp_path / "nope.npz"),
+               "--out", str(tmp_path / "o")])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
 
 
 def test_cli_export_rejects_bad_artifacts(tmp_path, capsys):

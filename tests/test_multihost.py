@@ -30,7 +30,7 @@ def test_four_process_cohort_driver_with_resume(tmp_path):
     import json
     import sys as _sys
 
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from ventjax.io.synthetic import write_study
 
     workdir = str(tmp_path)
@@ -119,7 +119,7 @@ def test_four_process_failure_injection_and_recovery(tmp_path):
     import time
     import sys as _sys
 
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from ventjax.io.synthetic import write_study
 
     workdir = str(tmp_path)
@@ -225,7 +225,7 @@ def test_four_process_sharded_export(tmp_path):
     import json
     import sys as _sys
 
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from ventjax.io.synthetic import write_study
 
     workdir = str(tmp_path)

@@ -185,7 +185,9 @@ def _cmd_export(args) -> int:
             v = Vent_Analysis(pickle_path=args.pickle)
         else:
             v = Vent_Analysis(npz_path=args.npz_in)
-    except (ReferencePickleError, ValueError) as e:
+    except (ReferencePickleError, ValueError, OSError, EOFError) as e:
+        # OSError covers a missing/unreadable file; EOFError a truncated
+        # pickle — all user-input problems, not crashes.
         print(f"error: {e}", file=sys.stderr)
         return 2
     if not hasattr(v, "HPvent") or not hasattr(v, "mask"):
@@ -267,6 +269,12 @@ def _cmd_cohort(args) -> int:
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
                       "out": args.out}))
+    # Aggregate files go to one shared path: under multihost only process 0
+    # writes them (every process holds identical results lists; N
+    # concurrent "w"-mode writers would tear the files).
+    import jax
+    if jax.process_index() != 0:
+        return 0
     # cohort-level aggregate summary: distribution stats per metric plus an
     # explicit accounting of failed / flagged lanes (pipeline.summary)
     from ventjax.pipeline.summary import cohort_summary

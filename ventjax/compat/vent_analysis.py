@@ -85,6 +85,11 @@ class Vent_Analysis:
             self.proton = proton_array
         if proton_path is not None:
             self.proton_ds, self.proton = self.openSingleDICOM(proton_path)
+        if sum(x is not None for x in (pickle_dict, pickle_path,
+                                       npz_path)) > 1:
+            raise ValueError(
+                "pass at most one of pickle_dict / pickle_path / npz_path "
+                "— resuming from several sources at once is ambiguous")
         if pickle_path is not None:
             # rexport.load_pickle detects reference-app pickles (embedded
             # pydicom objects) and raises an actionable error instead of an
@@ -177,7 +182,7 @@ class Vent_Analysis:
         return signal_histogram(
             path, np.asarray(sig, np.float64), np.asarray(self.mask),
             edges=self.config.lb_edges, percentile=self.config.lb_percentile,
-            title=f"{self.metadata['PatientName']} masked signal",
+            title=f"{self.metadata.get('PatientName', '')} masked signal",
             vdp_lb=vdp_lb if vdp_lb != "" else None,
         )
 

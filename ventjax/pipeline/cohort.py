@@ -288,7 +288,11 @@ def run_cohort(
     process_count.  Requires a filesystem shared across processes (resume
     broadcasts process 0's view of the done-markers, and the cohort's
     outputs are expected in one place); with per-host local disks keep the
-    default process-0 export instead.
+    default process-0 export instead.  Only active when the batch really is
+    sharded (use_mesh with >1 device): without a mesh every process holds a
+    full replicated result, each shard would claim every lane, and N
+    processes would race-write the same files — mesh-less multihost runs
+    fall back to process-0 export.
     """
     multihost = jax.process_count() > 1
     os.makedirs(out_dir, exist_ok=True)
@@ -411,7 +415,7 @@ def run_cohort(
             "ci_map": res.ci_map,
             "metrics": res.metrics,
         }
-        if multihost and shard_export:
+        if multihost and shard_export and runner.mesh is not None:
             # Allgather ONLY the small per-lane metrics (the overflow/retry
             # decision must be identical on every process); the big result
             # volumes are never gathered — each process reads just its own

@@ -173,7 +173,12 @@ def save_npz(state: Dict, npz_path: str) -> str:
                 skipped[key] = f"object-dtype array {arr.shape}"
             else:
                 arrays[key] = arr
-        elif dataclasses.is_dataclass(value) and not isinstance(value, type):
+        elif (key == "config" and dataclasses.is_dataclass(value)
+              and not isinstance(value, type)):
+            # Only the VentConfig slot is a dataclass the manifest knows how
+            # to restore; OTHER dataclasses (a parsed TwixScan in raw_twix,
+            # say) carry ndarray fields that would crash json.dumps — they
+            # are recorded as skipped like any opaque object.
             config = dataclasses.asdict(value)
         elif isinstance(value, dict):
             dicts[key] = _json_safe(value)
@@ -190,6 +195,10 @@ def save_npz(state: Dict, npz_path: str) -> str:
         "config": config,
         "skipped": skipped,
     }
+    # np.savez_compressed appends ".npz" to suffix-less paths; normalize
+    # first so the returned path always names the file actually written.
+    if not npz_path.endswith(".npz"):
+        npz_path += ".npz"
     np.savez_compressed(
         npz_path, **arrays,
         **{_MANIFEST_KEY: np.asarray(json.dumps(manifest))},

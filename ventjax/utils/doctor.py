@@ -73,9 +73,11 @@ def _compile_cache() -> Dict:
         "VENTJAX_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "ventjax", "xla"))
     os.makedirs(cache, exist_ok=True)
-    probe = os.path.join(cache, ".doctor_probe")
-    with open(probe, "w") as f:
-        f.write("ok")
+    # unique probe name: concurrent doctor runs (watchdogs overlap) must
+    # not race on a shared create/remove
+    fd, probe = tempfile.mkstemp(prefix=".doctor_probe", dir=cache)
+    os.write(fd, b"ok")
+    os.close(fd)
     os.remove(probe)
     return {"dir": cache, "writable": True,
             "entries": len(os.listdir(cache))}
