@@ -419,3 +419,18 @@ def test_cli_export_rejects_bad_artifacts(tmp_path, capsys):
     rc = main(["export", "--npz-in", bad, "--out", str(tmp_path / "o")])
     assert rc == 2
     assert "artifact" in capsys.readouterr().err
+
+
+def test_cli_cohort_progress_events(study_root, tmp_path, capsys):
+    manifest = [{"id": "s0", "xenon": f"{study_root}/xenon.dcm",
+                 "mask": f"{study_root}/mask"}]
+    mpath = str(tmp_path / "m.json")
+    json.dump(manifest, open(mpath, "w"))
+    rc = main(["cohort", "--manifest", mpath, "--out",
+               str(tmp_path / "out"), "--max-defect", "1024", "--progress"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    events = [json.loads(l) for l in err.splitlines() if l.startswith("{")]
+    stages = {e["stage"] for e in events}
+    assert {"decode", "analyze"} <= stages
+    assert events[-1]["done"] == events[-1]["total"] == 1

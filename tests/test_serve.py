@@ -422,3 +422,50 @@ def test_cli_serve_once(tmp_path):
         rc = main(["serve", "--inbox", str(inbox), "--out", str(out),
                    "--once", "--no-mesh", "--min-age", "30"])
     assert rc == 1
+
+
+def test_preflight_recorded_in_status(tmp_path, monkeypatch):
+    """preflight() runs the doctor battery and lands a compact result in
+    the heartbeat; a failed preflight is visible there too."""
+    from ventjax.utils import doctor as doctor_mod
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    svc = WatchService(str(inbox), str(tmp_path / "out"), use_mesh=False)
+    monkeypatch.setattr(doctor_mod, "run_doctor", lambda full=False: {
+        "ok": True, "full": False,
+        "checks": [{"name": "device_probe", "ok": True, "required": True}],
+    })
+    report = svc.preflight()
+    assert report["ok"]
+    status = json.load(open(tmp_path / "out" / "serve_status.json"))
+    assert status["preflight"]["ok"] is True
+    assert status["preflight"]["failed"] == []
+
+    monkeypatch.setattr(doctor_mod, "run_doctor", lambda full=False: {
+        "ok": False, "full": False,
+        "checks": [{"name": "device_probe", "ok": False, "required": True}],
+    })
+    assert not svc.preflight()["ok"]
+    status = json.load(open(tmp_path / "out" / "serve_status.json"))
+    assert status["preflight"]["failed"] == ["device_probe"]
+
+
+def test_cli_serve_preflight_blocks_broken_install(tmp_path, monkeypatch,
+                                                   capsys):
+    from ventjax.cli import main
+    from ventjax.utils import doctor as doctor_mod
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    _drop_subject(str(inbox), "s1", seed=41)
+    monkeypatch.setattr(doctor_mod, "run_doctor", lambda full=False: {
+        "ok": False, "full": False,
+        "checks": [{"name": "device_probe", "ok": False, "required": True}],
+    })
+    rc = main(["serve", "--inbox", str(inbox), "--out", str(tmp_path / "o"),
+               "--once", "--no-mesh", "--preflight"])
+    assert rc == 2
+    assert "preflight failed" in capsys.readouterr().err
+    # nothing was scanned/exported
+    assert not (tmp_path / "o" / "s1").exists()

@@ -260,11 +260,19 @@ def _cmd_cohort(args) -> int:
     if args.max_defect:
         cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
     manifest = load_manifest(args.manifest)
+    progress = None
+    if args.progress:
+        # One JSON line per progress event on stderr (stdout stays the
+        # machine-readable result) — tail-able for long cohorts.
+        def progress(stage, done, total):
+            print(json.dumps({"stage": stage, "done": done,
+                              "total": total}), file=sys.stderr, flush=True)
     with trace(args.profile_dir):
         results = run_cohort(
             manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
             export_npz=args.npz, shard_export=args.shard_export,
+            progress=progress,
         )
     ok = sum(1 for r in results if r.get("valid"))
     print(json.dumps({"subjects": len(results), "valid": ok,
@@ -407,6 +415,18 @@ def _cmd_serve(args) -> int:
         retry_backoff=args.retry_backoff, settle_scans=args.settle_scans,
         export_npz=args.npz,
     )
+
+    if args.preflight:
+        # Refuse to serve on a broken install: run the doctor battery
+        # before the first scan.  The result (pass or fail) also lands in
+        # the serve_status.json heartbeat for monitors.
+        from ventjax.utils.doctor import format_report
+
+        report = svc.preflight()
+        if not report["ok"]:
+            print(format_report(report), file=sys.stderr)
+            print("error: preflight failed; not serving", file=sys.stderr)
+            return 2
 
     last_pending = [None]
 
@@ -614,6 +634,9 @@ def main(argv=None) -> int:
                    help="multi-host: each process exports its own batch "
                    "lanes (shared filesystem required) instead of "
                    "process 0 exporting everything")
+    c.add_argument("--progress", action="store_true",
+                   help="emit JSON progress events (decode/analyze) on "
+                   "stderr as the cohort streams")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
     c.add_argument("--deterministic", action="store_true",
@@ -651,6 +674,10 @@ def main(argv=None) -> int:
     s.add_argument("--retry-backoff", type=float, default=60.0,
                    help="base seconds before the first retry of a failed "
                    "subject (doubles on each further attempt)")
+    s.add_argument("--preflight", action="store_true",
+                   help="run the doctor check battery before serving; "
+                   "exit 2 without scanning if a required check fails "
+                   "(result recorded in serve_status.json)")
     s.add_argument("--settle-scans", type=int, default=0,
                    help="require a subject's file signature to be stable "
                    "across N consecutive scans before first pickup — use "

@@ -213,7 +213,28 @@ class WatchService:
                         "resumed": 0, "scan_errors": 0}
         self._last_error: Optional[Dict] = None
         self._started = time.time()
+        # Compact result of the last preflight() (None = never run);
+        # included in every status heartbeat so monitors can see whether
+        # the service started on a healthy install.
+        self._preflight: Optional[Dict] = None
         os.makedirs(out_dir, exist_ok=True)
+
+    def preflight(self) -> Dict:
+        """Run the doctor check battery (ventjax.utils.doctor) and record
+        a compact result for the status heartbeat.  Returns the full
+        report; callers decide whether a failed report blocks serving
+        (the CLI's --preflight exits 2 without scanning)."""
+        from ventjax.utils.doctor import run_doctor
+
+        report = run_doctor()
+        self._preflight = {
+            "ts": time.time(),
+            "ok": report["ok"],
+            "failed": [c["name"] for c in report["checks"]
+                       if c["required"] and not c["ok"]],
+        }
+        self._write_status(None)
+        return report
 
     def scan_once(self) -> ScanReport:
         """One discovery + analysis pass.  Blocks until exports complete."""
@@ -349,6 +370,7 @@ class WatchService:
             "last_scan": None if report is None else report.as_dict(),
             "last_error": self._last_error,
             "awaiting_retry": sorted(self._failed),
+            "preflight": self._preflight,
             **self._totals,
         }
         tmp = os.path.join(self.out_dir, ".serve_status.tmp")
