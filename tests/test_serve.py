@@ -469,3 +469,49 @@ def test_cli_serve_preflight_blocks_broken_install(tmp_path, monkeypatch,
     assert "preflight failed" in capsys.readouterr().err
     # nothing was scanned/exported
     assert not (tmp_path / "o" / "s1").exists()
+
+
+def test_watchdog_fires_on_wedged_scan(tmp_path, monkeypatch):
+    """A scan exceeding scan_timeout trips the watchdog: wedged status in
+    the heartbeat, then the (stubbed) hard exit with code 86."""
+    from ventjax.pipeline import serve as serve_mod
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    svc = WatchService(str(inbox), str(tmp_path / "out"), use_mesh=False)
+    fired = []
+    monkeypatch.setattr(serve_mod, "_watchdog_exit", fired.append)
+    monkeypatch.setattr(svc, "scan_once", lambda: time.sleep(1.0))
+    svc.serve_forever(interval=0.01, max_scans=1, scan_timeout=0.15)
+    assert fired == [serve_mod.WATCHDOG_EXIT_CODE]
+    status = json.load(open(tmp_path / "out" / "serve_status.json"))
+    assert status["last_error"]["wedged"] is True
+    assert "watchdog" in status["last_error"]["error"]
+
+
+def test_watchdog_quiet_on_healthy_scans(tmp_path, monkeypatch):
+    """Fast scans never trip the armed watchdog (the timer is cancelled
+    when the scan returns — even a scan that raises)."""
+    from ventjax.pipeline import serve as serve_mod
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    svc = WatchService(str(inbox), str(tmp_path / "out"), use_mesh=False)
+    fired = []
+    monkeypatch.setattr(serve_mod, "_watchdog_exit", fired.append)
+    calls = []
+
+    def fast_scan():
+        calls.append(1)
+        if len(calls) == 2:  # a failing scan must also disarm its timer
+            raise OSError("transient inbox blip")
+        return svc.scan_once_real()
+
+    svc.scan_once_real = WatchService.scan_once.__get__(svc)
+    monkeypatch.setattr(svc, "scan_once", fast_scan)
+    n = svc.serve_forever(interval=0.01, max_scans=3, scan_timeout=0.2)
+    assert n == 3 and len(calls) == 3
+    time.sleep(0.4)  # a leaked 0.2s timer would fire well within this
+    assert fired == []
+    status = json.load(open(tmp_path / "out" / "serve_status.json"))
+    assert status["scan_errors"] == 1

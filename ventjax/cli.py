@@ -457,7 +457,8 @@ def _cmd_serve(args) -> int:
         pass  # not the main thread (embedded use); SIGTERM stays default
     try:
         svc.serve_forever(interval=args.interval, stop=stop,
-                          max_scans=args.max_scans, on_scan=on_scan)
+                          max_scans=args.max_scans, on_scan=on_scan,
+                          scan_timeout=args.scan_timeout)
     except KeyboardInterrupt:
         pass
     return 0
@@ -674,6 +675,13 @@ def main(argv=None) -> int:
     s.add_argument("--retry-backoff", type=float, default=60.0,
                    help="base seconds before the first retry of a failed "
                    "subject (doubles on each further attempt)")
+    s.add_argument("--scan-timeout", type=float, default=0.0,
+                   help="watchdog: hard-exit (code 86) if one scan runs "
+                   "longer than this many seconds — recovers a wedged "
+                   "device tunnel under a process supervisor (systemd "
+                   "Restart=, docker --restart); size it above the "
+                   "worst-case scan incl. first-scan compilation; "
+                   "0 disables (loop mode only, ignored with --once)")
     s.add_argument("--preflight", action="store_true",
                    help="run the doctor check battery before serving; "
                    "exit 2 without scanning if a required check fails "

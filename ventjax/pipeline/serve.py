@@ -58,6 +58,14 @@ from ventjax.pipeline.cohort import run_cohort
 
 log = logging.getLogger("ventjax.serve")
 
+# Watchdog exit seam: the scan watchdog must end a process whose device
+# thread is stuck in an uninterruptible runtime call (a wedged TPU tunnel
+# blocks in native code with no Python frames to unwind — sys.exit from
+# another thread would be swallowed), so it hard-exits via os._exit.
+# Module-level so tests can observe the firing instead of dying.
+WATCHDOG_EXIT_CODE = 86
+_watchdog_exit = os._exit
+
 
 def _dir_state(d: str) -> Tuple[float, Tuple]:
     """(newest file mtime, signature) for ``d``.
@@ -217,6 +225,10 @@ class WatchService:
         # included in every status heartbeat so monitors can see whether
         # the service started on a healthy install.
         self._preflight: Optional[Dict] = None
+        # The watchdog timer thread writes the heartbeat while the scan
+        # thread is (by premise) wedged, but serialize anyway so the
+        # atomic tmp-file rename can never race itself.
+        self._status_lock = threading.Lock()
         os.makedirs(out_dir, exist_ok=True)
 
     def preflight(self) -> Dict:
@@ -374,9 +386,10 @@ class WatchService:
             **self._totals,
         }
         tmp = os.path.join(self.out_dir, ".serve_status.tmp")
-        with open(tmp, "w") as f:
-            json.dump(status, f)
-        os.replace(tmp, os.path.join(self.out_dir, "serve_status.json"))
+        with self._status_lock:
+            with open(tmp, "w") as f:
+                json.dump(status, f)
+            os.replace(tmp, os.path.join(self.out_dir, "serve_status.json"))
 
     def _append_ledger(self, report: ScanReport, results: List[Dict]) -> None:
         """Service ledger: one JSONL record per scan that did work, so an
@@ -396,22 +409,56 @@ class WatchService:
         with open(os.path.join(self.out_dir, "serve_log.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
+    def _watchdog_fire(self, scan_no: int, timeout: float) -> None:
+        """A scan exceeded ``scan_timeout``: the device tunnel is presumed
+        wedged (the documented failure mode is a runtime call blocked
+        forever in native code — 0 CPU, no error, unkillable from Python).
+        Make the hang visible in the heartbeat, then hard-exit with
+        WATCHDOG_EXIT_CODE so a process supervisor (systemd Restart=,
+        docker --restart) brings up a fresh client; the .done protocol
+        makes the restart exactly-once."""
+        self._last_error = {
+            "ts": time.time(), "wedged": True,
+            "error": f"watchdog: scan {scan_no} exceeded {timeout:g}s "
+                     "(device tunnel presumed wedged); exiting "
+                     f"{WATCHDOG_EXIT_CODE} for supervisor restart",
+        }
+        try:
+            self._write_status(None)
+        except OSError:
+            pass
+        log.critical("%s", self._last_error["error"])
+        _watchdog_exit(WATCHDOG_EXIT_CODE)
+
     def serve_forever(
         self,
         interval: float = 5.0,
         stop: Optional[threading.Event] = None,
         max_scans: Optional[int] = None,
         on_scan=None,
+        scan_timeout: float = 0.0,
     ) -> int:
         """Scan loop: returns the number of scans performed.
 
         `stop` (a threading.Event) ends the loop at the next interval
         boundary; `max_scans` bounds it for tests/one-shots; `on_scan(report)`
         is invoked after every scan (the CLI prints a JSON line there).
+        `scan_timeout` > 0 arms a per-scan watchdog: a scan that runs
+        longer hard-exits the process (see _watchdog_fire) — size it above
+        the worst-case scan, remembering the FIRST scan of a geometry may
+        include minutes-scale TPU compilation when the persistent XLA
+        cache is cold.
         """
         stop = stop or threading.Event()
         n = 0
         while not stop.is_set():
+            watchdog = None
+            if scan_timeout > 0:
+                watchdog = threading.Timer(
+                    scan_timeout, self._watchdog_fire,
+                    args=(n + 1, scan_timeout))
+                watchdog.daemon = True
+                watchdog.start()
             try:
                 report = self.scan_once()
             except Exception as e:  # noqa: BLE001 — daemon must outlive
@@ -428,6 +475,9 @@ class WatchService:
                 except OSError:
                     pass  # out_dir itself unavailable; heartbeat resumes
                 report = None
+            finally:
+                if watchdog is not None:
+                    watchdog.cancel()
             n += 1
             if report is not None:
                 if report.new:
