@@ -515,3 +515,47 @@ def test_watchdog_quiet_on_healthy_scans(tmp_path, monkeypatch):
     assert fired == []
     status = json.load(open(tmp_path / "out" / "serve_status.json"))
     assert status["scan_errors"] == 1
+
+
+def test_prewarm_warms_runner_for_real_arrival(tmp_path):
+    """prewarm() compiles the production program for a geometry before the
+    inbox opens; the first real study of that geometry reuses the same
+    runner (and its jitted fns) instead of paying first-compile."""
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    out = tmp_path / "out"
+    svc = WatchService(str(inbox), str(out), use_mesh=False, min_age=0.0)
+    svc.prewarm([(SHAPE, VOX)])
+    key = (SHAPE, tuple(float(v) for v in VOX))
+    assert key in svc.runners
+    runner = svc.runners[key]
+    assert runner._fns, "prewarm must have compiled at least one program"
+    fns_before = dict(runner._fns)
+    # No phantom output may leak into the service out_dir.
+    assert not (out / "warm0").exists()
+
+    _drop_subject(str(inbox), "s1", seed=11)
+    report = svc.scan_once()
+    assert report.analyzed == 1
+    assert svc.runners[key] is runner, "runner identity must survive"
+    for k, f in fns_before.items():
+        assert runner._fns[k] is f, "prewarmed program was recompiled"
+
+
+def test_cli_prewarm_spec_parsing(tmp_path, capsys):
+    from ventjax.cli import main, parse_geometry_spec
+
+    assert parse_geometry_spec("128x128x16@2.0,2.0,11.5") == \
+        ((128, 128, 16), (2.0, 2.0, 11.5))
+    assert parse_geometry_spec("64x64x8") == ((64, 64, 8), (1.5, 1.5, 10.0))
+    for bad in ("64x64", "0x64x8", "64x64x8@1.5,1.5", "64x64x8@0,1,1",
+                "sixtyfour"):
+        with pytest.raises(ValueError):
+            parse_geometry_spec(bad)
+
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    rc = main(["serve", "--inbox", str(inbox), "--out", str(tmp_path / "o"),
+               "--once", "--no-mesh", "--prewarm", "garbage"])
+    assert rc == 2
+    assert "geometry spec" in capsys.readouterr().err

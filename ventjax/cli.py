@@ -394,6 +394,25 @@ def _cmd_twix(args) -> int:
     return 0
 
 
+def parse_geometry_spec(spec: str):
+    """Parse a --prewarm geometry spec ``HxWxD[@vr,vc,vs]`` into
+    ((H, W, D), (vr, vc, vs)); vox defaults to the common clinical
+    (1.5, 1.5, 10.0) mm when omitted."""
+    shape_s, _, vox_s = spec.partition("@")
+    try:
+        shape = tuple(int(x) for x in shape_s.lower().split("x"))
+        vox = ((1.5, 1.5, 10.0) if not vox_s
+               else tuple(float(x) for x in vox_s.split(",")))
+    except ValueError:
+        raise ValueError(f"bad geometry spec {spec!r}: expected "
+                         "HxWxD[@vr,vc,vs], e.g. 128x128x16@1.5,1.5,10.0")
+    if len(shape) != 3 or len(vox) != 3 or min(shape) < 1 \
+            or min(vox) <= 0:
+        raise ValueError(f"bad geometry spec {spec!r}: need three positive "
+                         "dims and three positive voxel sizes")
+    return shape, vox
+
+
 def _cmd_serve(args) -> int:
     import signal
     import threading
@@ -427,6 +446,16 @@ def _cmd_serve(args) -> int:
             print(format_report(report), file=sys.stderr)
             print("error: preflight failed; not serving", file=sys.stderr)
             return 2
+
+    if args.prewarm:
+        try:
+            geoms = [parse_geometry_spec(s) for s in args.prewarm]
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        secs = svc.prewarm(geoms)
+        print(json.dumps({"prewarmed": len(geoms),
+                          "seconds": round(secs, 1)}), file=sys.stderr)
 
     last_pending = [None]
 
@@ -675,6 +704,13 @@ def main(argv=None) -> int:
     s.add_argument("--retry-backoff", type=float, default=60.0,
                    help="base seconds before the first retry of a failed "
                    "subject (doubles on each further attempt)")
+    s.add_argument("--prewarm", action="append", default=[],
+                   metavar="HxWxD[@vr,vc,vs]",
+                   help="compile the pipeline for this study geometry "
+                   "before serving (repeatable), so the first real "
+                   "arrival skips the first-compile latency; vox "
+                   "defaults to 1.5,1.5,10.0 mm, e.g. "
+                   "--prewarm 128x128x16@1.5,1.5,10.0")
     s.add_argument("--scan-timeout", type=float, default=0.0,
                    help="watchdog: hard-exit (code 86) if one scan runs "
                    "longer than this many seconds — recovers a wedged "

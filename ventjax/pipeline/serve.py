@@ -248,6 +248,48 @@ class WatchService:
         self._write_status(None)
         return report
 
+    def prewarm(self, geometries) -> float:
+        """Compile the fused pipeline for expected study geometries BEFORE
+        the inbox opens, so the first real arrival skips the minutes-scale
+        TPU compile (paid here instead, and into the persistent XLA cache).
+
+        ``geometries``: iterable of ((H, W, D), (vox_r, vox_c, vox_s)).
+        Each is driven through run_cohort on a synthetic phantom study in
+        a temp dir with this service's persistent runner dict — exactly
+        the production program (same batch padding, same jit), not a
+        lookalike.  The sticky pad buckets start at the phantom's mask
+        size; a real study with a larger mask still pays one bucket-growth
+        recompile (inherent to adaptive padding).  Returns seconds spent.
+        """
+        import shutil
+        import tempfile
+
+        from ventjax.io.synthetic import write_study
+
+        geometries = list(geometries)
+        t0 = time.time()
+        tmp = tempfile.mkdtemp(prefix="ventjax_prewarm_")
+        try:
+            manifest = []
+            for i, (shape, vox) in enumerate(geometries):
+                root = os.path.join(tmp, f"warm{i}")
+                write_study(root, shape=tuple(shape), vox=tuple(vox),
+                            seed=i, with_proton=False)
+                manifest.append({"id": f"warm{i}",
+                                 "xenon": os.path.join(root, "xenon.dcm"),
+                                 "mask": os.path.join(root, "mask")})
+            if manifest:
+                run_cohort(manifest, os.path.join(tmp, "out"),
+                           config=self.config, batch_size=self.batch_size,
+                           use_mesh=self.use_mesh, resume=False,
+                           runners=self.runners)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        dt = time.time() - t0
+        log.info("prewarmed %d geometr%s in %.1fs", len(geometries),
+                 "y" if len(geometries) == 1 else "ies", dt)
+        return dt
+
     def scan_once(self) -> ScanReport:
         """One discovery + analysis pass.  Blocks until exports complete."""
         subjects, pending = discover_subjects(
