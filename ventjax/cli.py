@@ -20,6 +20,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
 import os
 import sys
@@ -260,14 +261,24 @@ def _cmd_cohort(args) -> int:
     if args.max_defect:
         cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
     manifest = load_manifest(args.manifest)
+    watchdog = contextlib.nullcontext()
+    if args.stall_timeout > 0:
+        from ventjax.utils.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(args.stall_timeout, label="cohort")
     progress = None
-    if args.progress:
+    if args.progress or args.stall_timeout > 0:
         # One JSON line per progress event on stderr (stdout stays the
-        # machine-readable result) — tail-able for long cohorts.
+        # machine-readable result) — tail-able for long cohorts.  The
+        # same events feed the stall watchdog when one is armed.
         def progress(stage, done, total):
-            print(json.dumps({"stage": stage, "done": done,
-                              "total": total}), file=sys.stderr, flush=True)
-    with trace(args.profile_dir):
+            if args.stall_timeout > 0:
+                watchdog.touch()
+            if args.progress:
+                print(json.dumps({"stage": stage, "done": done,
+                                  "total": total}),
+                      file=sys.stderr, flush=True)
+    with trace(args.profile_dir), watchdog:
         results = run_cohort(
             manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
@@ -667,6 +678,13 @@ def main(argv=None) -> int:
     c.add_argument("--progress", action="store_true",
                    help="emit JSON progress events (decode/analyze) on "
                    "stderr as the cohort streams")
+    c.add_argument("--stall-timeout", type=float, default=0.0,
+                   help="watchdog: hard-exit (code 86) if no decode/"
+                   "analyze progress for this many seconds — recovers a "
+                   "wedged device tunnel under a job scheduler (rerun "
+                   "resumes from .done markers); size it above the "
+                   "worst-case gap incl. cold-cache compilation; "
+                   "0 disables")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
     c.add_argument("--deterministic", action="store_true",
