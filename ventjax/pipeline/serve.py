@@ -451,7 +451,8 @@ class WatchService:
         with open(os.path.join(self.out_dir, "serve_log.jsonl"), "a") as f:
             f.write(json.dumps(rec) + "\n")
 
-    def _watchdog_fire(self, scan_no: int, timeout: float) -> None:
+    def _watchdog_fire(self, scan_no: int, timeout: float,
+                       exit_fn=None) -> None:
         """A scan exceeded ``scan_timeout``: the device tunnel is presumed
         wedged (the documented failure mode is a runtime call blocked
         forever in native code — 0 CPU, no error, unkillable from Python).
@@ -459,6 +460,7 @@ class WatchService:
         WATCHDOG_EXIT_CODE so a process supervisor (systemd Restart=,
         docker --restart) brings up a fresh client; the .done protocol
         makes the restart exactly-once."""
+        exit_fn = exit_fn or _watchdog_exit
         self._last_error = {
             "ts": time.time(), "wedged": True,
             "error": f"watchdog: scan {scan_no} exceeded {timeout:g}s "
@@ -470,7 +472,7 @@ class WatchService:
         except OSError:
             pass
         log.critical("%s", self._last_error["error"])
-        _watchdog_exit(WATCHDOG_EXIT_CODE)
+        exit_fn(WATCHDOG_EXIT_CODE)
 
     def serve_forever(
         self,
@@ -492,13 +494,17 @@ class WatchService:
         cache is cold.
         """
         stop = stop or threading.Event()
+        # Bind the exit seam once per loop, not at fire time: a timer
+        # thread that outlives a test's monkeypatch must keep the stub it
+        # was armed with, never a restored real os._exit.
+        exit_fn = _watchdog_exit
         n = 0
         while not stop.is_set():
             watchdog = None
             if scan_timeout > 0:
                 watchdog = threading.Timer(
                     scan_timeout, self._watchdog_fire,
-                    args=(n + 1, scan_timeout))
+                    args=(n + 1, scan_timeout, exit_fn))
                 watchdog.daemon = True
                 watchdog.start()
             try:

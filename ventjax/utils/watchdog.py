@@ -51,6 +51,10 @@ class StallWatchdog:
             raise ValueError("watchdog timeout must be positive")
         self.timeout = timeout
         self.label = label
+        # Bind the exit seam NOW, not at fire time: a watchdog thread that
+        # outlives a test's monkeypatch must keep calling the stub it was
+        # built with, never a restored real os._exit.
+        self._exit_fn = _exit
         self._last = time.monotonic()
         self._stop = threading.Event()
         self._thread = threading.Thread(
@@ -73,6 +77,8 @@ class StallWatchdog:
         while not self._stop.wait(poll):
             idle = time.monotonic() - self._last
             if idle >= self.timeout:
+                if self._stop.is_set():
+                    return  # run completed while we were deciding
                 self._stop.set()  # fire exactly once
                 print(
                     f"ventjax watchdog: no {self.label} progress for "
@@ -84,4 +90,4 @@ class StallWatchdog:
                     faulthandler.dump_traceback(file=sys.stderr)
                 except Exception:  # noqa: BLE001 — never mask the exit
                     pass
-                _exit(EXIT_CODE)
+                self._exit_fn(EXIT_CODE)
