@@ -432,5 +432,5 @@ def test_cli_cohort_progress_events(study_root, tmp_path, capsys):
     err = capsys.readouterr().err
     events = [json.loads(l) for l in err.splitlines() if l.startswith("{")]
     stages = {e["stage"] for e in events}
-    assert {"decode", "analyze"} <= stages
+    assert {"decode", "analyze", "export"} <= stages
     assert events[-1]["done"] == events[-1]["total"] == 1

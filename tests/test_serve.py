@@ -549,6 +549,7 @@ def test_cli_prewarm_spec_parsing(tmp_path, capsys):
         ((128, 128, 16), (2.0, 2.0, 11.5))
     assert parse_geometry_spec("64x64x8") == ((64, 64, 8), (1.5, 1.5, 10.0))
     for bad in ("64x64", "0x64x8", "64x64x8@1.5,1.5", "64x64x8@0,1,1",
+                "64x64x8@nan,1.5,10.0", "64x64x8@inf,1.5,10.0",
                 "sixtyfour"):
         with pytest.raises(ValueError):
             parse_geometry_spec(bad)
@@ -559,3 +560,28 @@ def test_cli_prewarm_spec_parsing(tmp_path, capsys):
                "--once", "--no-mesh", "--prewarm", "garbage"])
     assert rc == 2
     assert "geometry spec" in capsys.readouterr().err
+
+
+def test_cli_startup_watchdog_covers_preflight_wedge(tmp_path, monkeypatch):
+    """--scan-timeout also budgets the startup phases: a doctor battery
+    that wedges (device probe blocked in native code) trips the startup
+    watchdog instead of hanging the service forever."""
+    from ventjax.cli import main
+    from ventjax.utils import doctor as doctor_mod
+    from ventjax.utils import watchdog as wd_mod
+
+    fired = []
+    monkeypatch.setattr(wd_mod, "_exit", fired.append)
+
+    def wedged_doctor(full=False):
+        time.sleep(1.0)  # "blocked" long past the 0.2s budget
+        return {"ok": True, "full": False, "checks": []}
+
+    monkeypatch.setattr(doctor_mod, "run_doctor", wedged_doctor)
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    rc = main(["serve", "--inbox", str(inbox), "--out", str(tmp_path / "o"),
+               "--once", "--no-mesh", "--preflight", "--scan-timeout",
+               "0.2"])
+    assert fired == [wd_mod.EXIT_CODE]
+    assert rc == 0  # stubbed exit lets the (stub) battery finish

@@ -56,6 +56,26 @@ def test_rejects_nonpositive_timeout():
         StallWatchdog(0.0)
 
 
+def test_exit_survives_broken_stderr(monkeypatch):
+    """A dead stderr pipe (BrokenPipeError from the diagnostic print) must
+    never prevent the hard exit — it happens in a finally."""
+    import sys
+
+    class DeadPipe:
+        def write(self, *a):
+            raise BrokenPipeError("log collector died")
+
+        def flush(self):
+            raise BrokenPipeError("log collector died")
+
+    fired = []
+    monkeypatch.setattr(wd_mod, "_exit", fired.append)
+    monkeypatch.setattr(sys, "stderr", DeadPipe())
+    with StallWatchdog(0.1, label="unit"):
+        time.sleep(0.5)
+    assert fired == [EXIT_CODE]
+
+
 def test_cli_cohort_stall_timeout_fires_on_wedged_run(
         study_root, tmp_path, monkeypatch, capsys):
     """A run_cohort that goes quiet past --stall-timeout trips the

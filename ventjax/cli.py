@@ -22,6 +22,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+import math
 import os
 import sys
 
@@ -417,10 +418,12 @@ def parse_geometry_spec(spec: str):
     except ValueError:
         raise ValueError(f"bad geometry spec {spec!r}: expected "
                          "HxWxD[@vr,vc,vs], e.g. 128x128x16@1.5,1.5,10.0")
-    if len(shape) != 3 or len(vox) != 3 or min(shape) < 1 \
-            or min(vox) <= 0:
+    # all(v > 0) is False for NaN too (NaN comparisons are all False),
+    # unlike a min(vox) <= 0 test, which NaN would sneak past.
+    if len(shape) != 3 or len(vox) != 3 or not all(d >= 1 for d in shape) \
+            or not all(math.isfinite(v) and v > 0 for v in vox):
         raise ValueError(f"bad geometry spec {spec!r}: need three positive "
-                         "dims and three positive voxel sizes")
+                         "dims and three positive finite voxel sizes")
     return shape, vox
 
 
@@ -446,27 +449,53 @@ def _cmd_serve(args) -> int:
         export_npz=args.npz,
     )
 
-    if args.preflight:
-        # Refuse to serve on a broken install: run the doctor battery
-        # before the first scan.  The result (pass or fail) also lands in
-        # the serve_status.json heartbeat for monitors.
-        from ventjax.utils.doctor import format_report
-
-        report = svc.preflight()
-        if not report["ok"]:
-            print(format_report(report), file=sys.stderr)
-            print("error: preflight failed; not serving", file=sys.stderr)
-            return 2
-
+    # Validate --prewarm specs FIRST: pure string parsing must fail fast,
+    # not after a minutes-scale preflight battery.
+    geoms = []
     if args.prewarm:
         try:
             geoms = [parse_geometry_spec(s) for s in args.prewarm]
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        secs = svc.prewarm(geoms)
-        print(json.dumps({"prewarmed": len(geoms),
-                          "seconds": round(secs, 1)}), file=sys.stderr)
+
+    # The startup phases (doctor device probe, prewarm compiles) hit the
+    # device before serve_forever arms its per-scan watchdog — and the
+    # wedge mode is a STARTUP hazard too (observed live: a trivial probe
+    # blocked >120 s).  Reuse --scan-timeout as a per-phase stall budget:
+    # preflight completion and every prewarm progress event feed it.
+    if args.scan_timeout > 0 and (args.preflight or geoms):
+        from ventjax.utils.watchdog import StallWatchdog
+
+        startup_wd = StallWatchdog(args.scan_timeout,
+                                   label="serve startup")
+    else:
+        startup_wd = None
+
+    with (startup_wd or contextlib.nullcontext()):
+        if args.preflight:
+            # Refuse to serve on a broken install: run the doctor battery
+            # before the first scan.  The result (pass or fail) also lands
+            # in the serve_status.json heartbeat for monitors.
+            from ventjax.utils.doctor import format_report
+
+            report = svc.preflight()
+            if not report["ok"]:
+                print(format_report(report), file=sys.stderr)
+                print("error: preflight failed; not serving",
+                      file=sys.stderr)
+                return 2
+            if startup_wd is not None:
+                startup_wd.touch()
+
+        if geoms:
+            secs = svc.prewarm(
+                geoms,
+                progress=(None if startup_wd is None
+                          else lambda *a: startup_wd.touch()),
+            )
+            print(json.dumps({"prewarmed": len(geoms),
+                              "seconds": round(secs, 1)}), file=sys.stderr)
 
     last_pending = [None]
 
@@ -676,15 +705,15 @@ def main(argv=None) -> int:
                    "lanes (shared filesystem required) instead of "
                    "process 0 exporting everything")
     c.add_argument("--progress", action="store_true",
-                   help="emit JSON progress events (decode/analyze) on "
-                   "stderr as the cohort streams")
+                   help="emit JSON progress events (decode/analyze/"
+                   "export) on stderr as the cohort streams")
     c.add_argument("--stall-timeout", type=float, default=0.0,
                    help="watchdog: hard-exit (code 86) if no decode/"
-                   "analyze progress for this many seconds — recovers a "
-                   "wedged device tunnel under a job scheduler (rerun "
-                   "resumes from .done markers); size it above the "
-                   "worst-case gap incl. cold-cache compilation; "
-                   "0 disables")
+                   "analyze/export progress for this many seconds — "
+                   "recovers a wedged device tunnel under a job "
+                   "scheduler (rerun resumes from .done markers); size "
+                   "it above the worst-case gap incl. cold-cache "
+                   "compilation; 0 disables")
     c.add_argument("--max-defect", type=int, default=None,
                    help="static bound on defect voxels for CI (default 8192)")
     c.add_argument("--deterministic", action="store_true",
@@ -733,9 +762,11 @@ def main(argv=None) -> int:
                    help="watchdog: hard-exit (code 86) if one scan runs "
                    "longer than this many seconds — recovers a wedged "
                    "device tunnel under a process supervisor (systemd "
-                   "Restart=, docker --restart); size it above the "
-                   "worst-case scan incl. first-scan compilation; "
-                   "0 disables (loop mode only, ignored with --once)")
+                   "Restart=, docker --restart); also budgets each "
+                   "startup phase (--preflight battery, each --prewarm "
+                   "compile step); size it above the worst-case scan "
+                   "incl. first-scan compilation; 0 disables (ignored "
+                   "with --once except for the startup phases)")
     s.add_argument("--preflight", action="store_true",
                    help="run the doctor check battery before serving; "
                    "exit 2 without scanning if a required check fails "

@@ -271,7 +271,12 @@ def run_cohort(
     Streaming: decode prefetch is bounded at 2 batches ahead, exports run in
     background threads, so host memory stays O(batch_size x geometries) on
     arbitrarily large cohorts.  `progress(stage, done, total)` is called as
-    subjects decode and as device batches complete.
+    subjects decode ("decode"), as device batches complete ("analyze"),
+    and as exports land per subject ("export" — also emitted with an
+    unchanged count when an overflowed batch re-queues, as a keep-alive
+    for stall watchdogs; the export count ends below `total` when
+    subjects failed decode/analysis).  Callbacks fire from decode/export
+    worker threads as well as the dispatch thread.
 
     `runners` lets a long-lived caller (the watch-folder service,
     pipeline/serve.py) pass a persistent per-geometry runner dict so jitted
@@ -369,14 +374,30 @@ def run_cohort(
                          "queueing batch for re-run", runner.shape, *pads)
                 with retry_lock:
                     retry_queue.append((runner, batch))
+                _touch_export(0)  # keep-alive: the retry is progress too
                 return
             for lane, (entry, decoded) in enumerate(batch):
                 lane_pack = jax.tree_util.tree_map(lambda x: x[lane], host)
                 _write_subject(out_dir, entry, decoded, lane_pack,
                                results, results_lock,
                                npz=export_npz, config=config)
+                _touch_export()
         finally:
             export_slots.release()
+
+    n_exported = 0
+
+    def _touch_export(k=1):
+        """Progress event per exported subject (export workers).  Keeps
+        the stall watchdog fed through the tail phases (grown-pad retry
+        recompiles, final export settle) that emit no analyze events; the
+        count can end below `total` when subjects failed decode/analysis."""
+        nonlocal n_exported
+        with results_lock:
+            n_exported += k
+            cnt = n_exported
+        if progress:
+            progress("export", cnt, total)
 
     def _export_files(batch, host):
         """File I/O only (no device access) — multihost export worker."""
@@ -386,6 +407,7 @@ def run_cohort(
                 _write_subject(out_dir, entry, decoded, lane_pack,
                                results, results_lock,
                                npz=export_npz, config=config)
+                _touch_export()
         finally:
             export_slots.release()
 
@@ -399,6 +421,7 @@ def run_cohort(
                                results, results_lock,
                                npz=export_npz, config=config,
                                record=False, exporter=jax.process_index())
+                _touch_export()
         finally:
             export_slots.release()
 
@@ -501,6 +524,9 @@ def run_cohort(
                             **jax.tree_util.tree_map(
                                 lambda x: x[lane], host)["metrics"].as_dict(),
                         })
+                # Non-exporting processes: recording metrics IS this
+                # process's completion of the batch — feed the watchdog.
+                _touch_export(len(batch))
         else:
             # NOTE: no dtype-narrowing cast on pack here — an eager astype
             # dispatched outside the jitted program wedges the axon tunnel

@@ -62,8 +62,11 @@ log = logging.getLogger("ventjax.serve")
 # thread is stuck in an uninterruptible runtime call (a wedged TPU tunnel
 # blocks in native code with no Python frames to unwind — sys.exit from
 # another thread would be swallowed), so it hard-exits via os._exit.
-# Module-level so tests can observe the firing instead of dying.
-WATCHDOG_EXIT_CODE = 86
+# Module-level so tests can observe the firing instead of dying.  The
+# exit code is shared with the offline cohort watchdog so supervisors
+# classify both the same way.
+from ventjax.utils.watchdog import EXIT_CODE as WATCHDOG_EXIT_CODE  # noqa: E402
+
 _watchdog_exit = os._exit
 
 
@@ -248,7 +251,7 @@ class WatchService:
         self._write_status(None)
         return report
 
-    def prewarm(self, geometries) -> float:
+    def prewarm(self, geometries, progress=None) -> float:
         """Compile the fused pipeline for expected study geometries BEFORE
         the inbox opens, so the first real arrival skips the minutes-scale
         TPU compile (paid here instead, and into the persistent XLA cache).
@@ -260,6 +263,9 @@ class WatchService:
         lookalike.  The sticky pad buckets start at the phantom's mask
         size; a real study with a larger mask still pays one bucket-growth
         recompile (inherent to adaptive padding).  Returns seconds spent.
+        ``progress`` is forwarded to run_cohort (one decode/analyze/export
+        event per geometry — lets a startup watchdog distinguish N slow
+        compiles from one wedge).
         """
         import shutil
         import tempfile
@@ -282,7 +288,7 @@ class WatchService:
                 run_cohort(manifest, os.path.join(tmp, "out"),
                            config=self.config, batch_size=self.batch_size,
                            use_mesh=self.use_mesh, resume=False,
-                           runners=self.runners)
+                           runners=self.runners, progress=progress)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         dt = time.time() - t0
@@ -461,18 +467,23 @@ class WatchService:
         docker --restart) brings up a fresh client; the .done protocol
         makes the restart exactly-once."""
         exit_fn = exit_fn or _watchdog_exit
-        self._last_error = {
-            "ts": time.time(), "wedged": True,
-            "error": f"watchdog: scan {scan_no} exceeded {timeout:g}s "
-                     "(device tunnel presumed wedged); exiting "
-                     f"{WATCHDOG_EXIT_CODE} for supervisor restart",
-        }
+        # NOTHING may prevent the exit: the diagnostics below race a scan
+        # thread that is still mutating _failed/_sigs (e.g. sorted() over
+        # a dict changing size in _write_status), and stderr/logging can
+        # themselves be broken — swallow everything, exit in finally.
         try:
+            self._last_error = {
+                "ts": time.time(), "wedged": True,
+                "error": f"watchdog: scan {scan_no} exceeded {timeout:g}s "
+                         "(device tunnel presumed wedged); exiting "
+                         f"{WATCHDOG_EXIT_CODE} for supervisor restart",
+            }
             self._write_status(None)
-        except OSError:
+            log.critical("%s", self._last_error["error"])
+        except Exception:  # noqa: BLE001 — never mask the exit
             pass
-        log.critical("%s", self._last_error["error"])
-        exit_fn(WATCHDOG_EXIT_CODE)
+        finally:
+            exit_fn(WATCHDOG_EXIT_CODE)
 
     def serve_forever(
         self,

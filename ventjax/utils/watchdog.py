@@ -80,14 +80,19 @@ class StallWatchdog:
                 if self._stop.is_set():
                     return  # run completed while we were deciding
                 self._stop.set()  # fire exactly once
-                print(
-                    f"ventjax watchdog: no {self.label} progress for "
-                    f"{idle:.1f}s (device tunnel presumed wedged); thread "
-                    f"stacks follow; exiting {EXIT_CODE} for supervisor "
-                    "restart (completed subjects resume from .done "
-                    "markers)", file=sys.stderr, flush=True)
+                # NOTHING may prevent the exit: stderr can be a dead pipe
+                # (BrokenPipeError from print) — swallow everything, exit
+                # in finally.
                 try:
+                    print(
+                        f"ventjax watchdog: no {self.label} progress for "
+                        f"{idle:.1f}s (device tunnel presumed wedged); "
+                        f"thread stacks follow; exiting {EXIT_CODE} for "
+                        "supervisor restart (completed subjects resume "
+                        "from .done markers)",
+                        file=sys.stderr, flush=True)
                     faulthandler.dump_traceback(file=sys.stderr)
                 except Exception:  # noqa: BLE001 — never mask the exit
                     pass
-                self._exit_fn(EXIT_CODE)
+                finally:
+                    self._exit_fn(EXIT_CODE)
