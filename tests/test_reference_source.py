@@ -1,0 +1,303 @@
+"""Differential tests against the ACTUAL reference source (living oracle).
+
+The vendored oracles in ``ventjax.oracle`` transcribe the reference formulas;
+every other fidelity test routes through them.  The tests here execute the
+reference's *own code* so any drift between the transcription and the
+reference is caught by CI instead of resting on a frozen hash pin
+(VERDICT r3, Missing #1 / Next #1):
+
+- ``/root/reference/CI.py`` imports only numpy/tqdm/logging and runs in this
+  environment.  Its ``calculate_CI(..., type='fast')`` is executed directly
+  (cwd pinned to a tmp dir so its ``.npy`` sphere cache lands there) and
+  compared bit-for-bit against ``ventjax.oracle.ci_oracle`` AND the device
+  engines on a battery of small random defect volumes (Rmax 8-12 keeps each
+  case sub-second).
+- ``/root/reference/Vent_Analysis.py`` cannot be imported wholesale
+  (pydicom/SimpleITK/nibabel/mapvbvd are not installed), so its analysis
+  methods (``calculate_VDP``, ``calculate_SNR``, ``calculateBorder``,
+  ``normalize``) are extracted from the source via ``ast`` and exec'd with
+  the one unavailable step stubbed: ``N4_bias_correction`` (SimpleITK,
+  Vent_Analysis.py:330-331) returns a shared precomputed array, so both
+  sides see the identical N4 input.  ``scipy.signal.medfilt2d`` — the exact
+  function the reference imports (Vent_Analysis.py:10) — is installed and
+  used for real.
+
+If the reference tree is absent (this suite running outside the build
+sandbox), the whole module skips.
+"""
+import ast
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF_DIR = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REF_DIR / "CI.py").exists() or not (REF_DIR / "Vent_Analysis.py").exists(),
+    reason="reference tree not available",
+)
+
+
+# ---------------------------------------------------------------------------
+# Loading the reference code
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module", autouse=True)
+def _pinned_cwd(tmp_path_factory):
+    """Pin cwd to a tmp dir for this module, restore afterwards.
+
+    getSpherePix (CI.py:33-63) caches its sphere table as
+    ``{vox}x{vox}x{vox}_{R}.npy`` in ``os.getcwd()`` at *call* time, so every
+    reference-CI call in this module must run under a scratch cwd."""
+    old = os.getcwd()
+    workdir = tmp_path_factory.mktemp("ref_ci_cache")
+    os.chdir(workdir)
+    yield workdir
+    os.chdir(old)
+
+
+@pytest.fixture(scope="module")
+def ref_ci(_pinned_cwd):
+    """Import /root/reference/CI.py (cwd already pinned by _pinned_cwd)."""
+    spec = importlib.util.spec_from_file_location("_ref_CI", REF_DIR / "CI.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="session")
+def ref_methods():
+    """Extract the analysis methods from Vent_Analysis.py via ast and exec
+    them into a namespace (the module itself cannot be imported here)."""
+    src = (REF_DIR / "Vent_Analysis.py").read_text()
+    tree = ast.parse(src)
+    cls = next(
+        n for n in ast.walk(tree)
+        if isinstance(n, ast.ClassDef) and n.name == "Vent_Analysis"
+    )
+    wanted = {"calculate_VDP", "calculate_SNR", "calculateBorder", "normalize"}
+    from scipy.signal import medfilt2d
+
+    ns = {"np": np, "medfilt2d": medfilt2d, "print": lambda *a, **k: None}
+    found = set()
+    for node in cls.body:
+        if isinstance(node, ast.FunctionDef) and node.name in wanted:
+            mod = ast.Module(body=[node], type_ignores=[])
+            code = compile(mod, str(REF_DIR / "Vent_Analysis.py"), "exec")
+            exec(code, ns)  # noqa: S102 - executing the reference source IS the test
+            found.add(node.name)
+    assert found == wanted, f"reference source drifted: missing {wanted - found}"
+    return ns
+
+
+class _Stub:
+    """Bare attribute bag standing in for a Vent_Analysis instance."""
+
+
+def _make_ref_subject(ref_methods, hp, mask, n4, vox):
+    ref = _Stub()
+    ref.HPvent = hp
+    ref.mask = mask
+    ref.vox = list(vox)
+    ref.metadata = {}
+    # SimpleITK N4 (Vent_Analysis.py:315-334) is not installable here; both
+    # sides are fed the identical precomputed array instead.
+    ref.N4_bias_correction = lambda a, m: n4
+    for name in ("calculate_VDP", "calculate_SNR", "calculateBorder", "normalize"):
+        setattr(ref, name, ref_methods[name].__get__(ref))
+    return ref
+
+
+# ---------------------------------------------------------------------------
+# CI: run the reference module directly, bit-compare everything
+# ---------------------------------------------------------------------------
+
+def _battery():
+    """Small random defect volumes: blobs + sparse voxels, sized so no voxel
+    can reach the max radius (which would raise in the reference,
+    CI.py:100-103)."""
+    rng = np.random.default_rng(20260818)
+    cases = []
+    for shape, vox, rmax in [
+        ((24, 20, 6), (1.0, 1.0, 1.0), 8),
+        ((32, 32, 8), (1.5, 1.5, 10.0), 12),
+        ((16, 18, 10), (3.0, 3.0, 15.0), 8),
+    ]:
+        defect = np.zeros(shape, np.float64)
+        for _ in range(3):
+            r0 = rng.integers(2, shape[0] - 6)
+            c0 = rng.integers(2, shape[1] - 6)
+            s0 = rng.integers(1, shape[2] - 2)
+            defect[r0:r0 + rng.integers(2, 5),
+                   c0:c0 + rng.integers(2, 5),
+                   s0:s0 + rng.integers(1, 3)] = 1
+        # a few isolated voxels, including one on the border (index aliasing)
+        for _ in range(4):
+            defect[rng.integers(0, shape[0]),
+                   rng.integers(0, shape[1]),
+                   rng.integers(0, shape[2])] = 1
+        defect[0, 0, 0] = 1
+        cases.append((defect, vox, rmax))
+    return cases
+
+
+def test_ci_reference_source_vs_vendored_oracle_bitwise(ref_ci):
+    """The vendored oracle must be bit-identical to the reference CI module
+    on every battery case (CI.py:107-145, type='fast')."""
+    from ventjax.oracle.ci_oracle import calculate_ci_oracle
+
+    for defect, vox, rmax in _battery():
+        want = ref_ci.calculate_CI(
+            defect.copy(), vox=np.asarray(vox, np.float64), Rmax=rmax, type="fast"
+        )
+        got = calculate_ci_oracle(defect, vox=vox, rmax=rmax)
+        assert want.dtype == np.float64 and got.dtype == np.float64
+        assert np.array_equal(got, want), (
+            f"vendored CI oracle drifted from reference source "
+            f"(shape={defect.shape}, vox={vox}, rmax={rmax})"
+        )
+
+
+def test_ci_reference_source_vs_device_engines(ref_ci):
+    """Both device engines agree with the reference source (f32 radii, so
+    only last-ulp float differences are allowed; the defect SET must be
+    exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ventjax.ops.ci import build_ci_geometry, calculate_ci
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry,
+        calculate_ci_pairwise,
+    )
+
+    for defect, vox, rmax in _battery():
+        want = ref_ci.calculate_CI(
+            defect.copy(), vox=np.asarray(vox, np.float64), Rmax=rmax, type="fast"
+        )
+        n_def = int(defect.sum())
+        k = 1 << (n_def - 1).bit_length()
+
+        geom = build_ci_geometry(vox, defect.shape, rmax, "wrap")
+        ci, nsat, ovf = jax.jit(
+            lambda d, g=geom, k=k: calculate_ci(d, g, max_defect_voxels=k, chunk=64)
+        )(jnp.asarray(defect, jnp.float32))
+        assert not bool(ovf) and int(nsat) == 0
+        ci = np.asarray(ci, np.float64)
+        assert np.array_equal(ci != 0, want != 0)
+        assert np.abs(ci - want).max() < 2e-5
+
+        pgeom = build_ci_pairwise_geometry(vox, defect.shape, rmax, "wrap")
+        cip, nsat_p, ovf_p = calculate_ci_pairwise(
+            jnp.asarray(defect, jnp.float32), pgeom,
+            max_defect_voxels=k, head_balls=32,
+        )
+        assert not bool(ovf_p) and int(nsat_p) == 0
+        cip = np.asarray(cip, np.float64)
+        assert np.array_equal(cip != 0, want != 0)
+        assert np.abs(cip - want).max() < 2e-5
+
+
+def test_ci_reference_helpers_bitwise(ref_ci):
+    """px2vec / vec2px / getSpherePix agree with the compat + oracle copies."""
+    from ventjax.compat.ci_module import px2vec, vec2px
+    from ventjax.oracle.ci_oracle import sphere_pixels
+
+    shape = (40, 36, 8)
+    rng = np.random.default_rng(7)
+    i = rng.integers(0, shape[0], 50)
+    j = rng.integers(0, shape[1], 50)
+    k = rng.integers(0, shape[2], 50)
+    assert np.array_equal(
+        px2vec(i, j, k, shape), ref_ci.px2vec(i, j, k, shape)
+    )
+    for n in [1, 17, 40, 41, 1440, 1441, 40 * 36 * 8]:
+        assert vec2px(n, shape) == ref_ci.vec2px(n, shape)
+
+    for vox, rmax in [((1.0, 1.0, 1.0), 8), ((1.5, 1.5, 10.0), 12)]:
+        want = ref_ci.getSpherePix(np.asarray(vox, np.float64), rmax)
+        got = sphere_pixels(np.asarray(vox, np.float64), rmax)
+        assert np.array_equal(got, want), f"sphere table drifted for {vox}"
+
+
+# ---------------------------------------------------------------------------
+# VDP / SNR / border / normalize: exec the reference's methods
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="session")
+def shared_case():
+    from ventjax.io.phantom import make_phantom
+
+    ph = make_phantom(shape=(64, 64, 8), vox=(1.5, 1.5, 10.0), seed=42)
+    hp = np.asarray(ph.hp, np.float64)
+    mask = np.asarray(ph.mask, np.float64)
+    # Shared "N4 output": the phantom HP modulated by a smooth field — any
+    # positive array works since BOTH sides receive the identical input.
+    rr, cc, ss = np.meshgrid(
+        np.linspace(0, 1, hp.shape[0]),
+        np.linspace(0, 1, hp.shape[1]),
+        np.linspace(0, 1, hp.shape[2]),
+        indexing="ij",
+    )
+    n4 = hp * (1.0 + 0.2 * np.sin(3 * rr) * np.cos(2 * cc) + 0.1 * ss)
+    return hp, mask, n4, (1.5, 1.5, 10.0)
+
+
+def test_vdp_snr_reference_source_bitwise(ref_methods, shared_case):
+    """Run the reference's calculate_VDP end to end (real medfilt2d) and
+    compare every output to the vendored oracle, bit for bit."""
+    from ventjax.oracle import (
+        calculate_border,
+        calculate_snr,
+        vdp_linear_binning,
+        vdp_mean_anchored,
+    )
+
+    hp, mask, n4, vox = shared_case
+    ref = _make_ref_subject(ref_methods, hp, mask, n4, vox)
+    ref.calculate_VDP(thresh=0.6)
+
+    defect, vdp = vdp_mean_anchored(n4, mask, thresh=0.6)
+    assert np.array_equal(defect, ref.defectArray)
+    assert vdp == ref.metadata["VDP"]
+
+    lb, vdp_lb = vdp_linear_binning(n4, mask)
+    assert np.array_equal(lb, ref.defectArrayLB)
+    assert vdp_lb == ref.metadata["VDP_lb"]
+
+    # QUIRK preserved: calculate_VDP passes the mask as FOVbuffer
+    # (Vent_Analysis.py:242 -> 337); the method shadows it back to 20.
+    assert calculate_snr(hp, mask, fov_buffer=20) == ref.metadata["SNR"]
+
+    border = calculate_border(ref.defectArray)
+    assert np.array_equal(border, ref.calculateBorder(ref.defectArray))
+    # reference keeps `defectBorder = border == 1` (gradient corners give 2)
+    assert np.array_equal(border == 1, ref.defectBorder)
+
+
+def test_normalize_reference_source_bitwise(ref_methods, shared_case):
+    from ventjax.oracle import normalize
+
+    hp, _, _, _ = shared_case
+    ref_norm = ref_methods["normalize"](None, hp)
+    assert np.array_equal(normalize(hp), ref_norm)
+    flat = np.full((4, 4), 3.0)
+    assert np.array_equal(normalize(flat), ref_methods["normalize"](None, flat))
+
+
+def test_mean_anchored_thresh_sweep_matches_reference(ref_methods, shared_case):
+    """Threshold sweep: the defect SET must track the reference exactly at
+    every thresh, not just the default."""
+    from ventjax.oracle import vdp_mean_anchored
+
+    hp, mask, n4, vox = shared_case
+    for thresh in (0.4, 0.6, 0.75, 1.1):
+        ref = _make_ref_subject(ref_methods, hp, mask, n4, vox)
+        ref.calculate_VDP(thresh=thresh)
+        defect, vdp = vdp_mean_anchored(n4, mask, thresh=thresh)
+        assert np.array_equal(defect, ref.defectArray), f"thresh={thresh}"
+        assert vdp == ref.metadata["VDP"]
