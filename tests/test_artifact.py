@@ -97,18 +97,23 @@ def test_non_artifact_npz_rejected(tmp_path):
         rexport.load_npz(path)
 
 
-def test_config_field_drift_keeps_dict(tmp_path):
+def test_config_field_drift_loads_known_fields(tmp_path):
     """An artifact whose config has unknown fields (written by a different
-    version) loads with the raw dict instead of failing."""
+    version) loads as a real VentConfig: known keys applied, unknown keys
+    dropped with a warning — never a raw dict that would AttributeError in
+    exportHistogram/screenShot far from the load site."""
     manifest = {
         "artifact_version": 1, "scalars": {}, "dicts": {},
-        "config": {"no_such_field": 1}, "skipped": {},
+        "config": {"no_such_field": 1, "vdp_thresh": 0.7}, "skipped": {},
     }
     path = str(tmp_path / "drift.npz")
     np.savez_compressed(
         path, __ventjax_artifact__=np.asarray(json.dumps(manifest)))
-    state = rexport.load_npz(path)
-    assert state["config"] == {"no_such_field": 1}
+    with pytest.warns(UserWarning, match="no_such_field"):
+        state = rexport.load_npz(path)
+    assert isinstance(state["config"], VentConfig)
+    assert state["config"].vdp_thresh == 0.7
+    assert state["config"].snr_fov_buffer == DEFAULT_CONFIG.snr_fov_buffer
 
 
 def test_cohort_npz_export_is_ctor_resumable(tmp_path):

@@ -421,6 +421,17 @@ def test_cli_export_rejects_bad_artifacts(tmp_path, capsys):
     assert "artifact" in capsys.readouterr().err
 
 
+def test_cli_export_rejects_corrupt_pickle(tmp_path, capsys):
+    """A bit-flipped (non-truncated) pickle raises pickle.UnpicklingError,
+    which must take the friendly exit-2 path, not a raw traceback."""
+    bad = str(tmp_path / "corrupt.pkl")
+    with open(bad, "wb") as f:
+        f.write(b"\x80\x04\xff\xff garbage that is not a pickle stream.")
+    rc = main(["export", "--pickle", bad, "--out", str(tmp_path / "o")])
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
+
+
 def test_cli_cohort_progress_events(study_root, tmp_path, capsys):
     manifest = [{"id": "s0", "xenon": f"{study_root}/xenon.dcm",
                  "mask": f"{study_root}/mask"}]

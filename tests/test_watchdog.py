@@ -51,6 +51,30 @@ def test_touches_keep_it_quiet_and_exit_stops_it(monkeypatch):
     assert fired == []
 
 
+def test_completion_during_diagnostics_stands_down(monkeypatch, capfd):
+    """A run that completes while the watchdog is printing its stack dump
+    must NOT be hard-exited: the post-diagnostics _stop re-check stands
+    down (the residual check->exit window is documented as irreducible)."""
+    import faulthandler
+
+    fired = []
+    monkeypatch.setattr(wd_mod, "_exit", fired.append)
+    wd = StallWatchdog(0.15, label="unit")
+
+    real_dump = faulthandler.dump_traceback
+
+    def dump_and_complete(*a, **k):
+        real_dump(*a, **k)
+        wd._stop.set()  # the run finishes mid-diagnostics
+
+    monkeypatch.setattr(faulthandler, "dump_traceback", dump_and_complete)
+    with wd:
+        time.sleep(0.6)  # quiet past the timeout: diagnostics fire
+    time.sleep(0.2)
+    assert fired == [], "completion during diagnostics must stand down"
+    assert "no unit progress" in capfd.readouterr().err
+
+
 def test_rejects_nonpositive_timeout():
     with pytest.raises(ValueError):
         StallWatchdog(0.0)

@@ -24,6 +24,7 @@ import contextlib
 import json
 import math
 import os
+import pickle
 import sys
 
 
@@ -187,9 +188,11 @@ def _cmd_export(args) -> int:
             v = Vent_Analysis(pickle_path=args.pickle)
         else:
             v = Vent_Analysis(npz_path=args.npz_in)
-    except (ReferencePickleError, ValueError, OSError, EOFError) as e:
+    except (ReferencePickleError, ValueError, OSError, EOFError,
+            pickle.UnpicklingError) as e:
         # OSError covers a missing/unreadable file; EOFError a truncated
-        # pickle — all user-input problems, not crashes.
+        # pickle; UnpicklingError a corrupt (bit-flipped) one — all
+        # user-input problems, not crashes.
         print(f"error: {e}", file=sys.stderr)
         return 2
     if not hasattr(v, "HPvent") or not hasattr(v, "mask"):

@@ -458,6 +458,7 @@ def run_cohort(
             ):
                 with retry_lock:
                     retry_queue.append((runner, batch))
+                _touch_export(0)  # keep-alive: matches single-process path
             else:
                 # Every process records every lane's metrics (identical
                 # results lists everywhere) ...
@@ -512,6 +513,7 @@ def run_cohort(
             ):
                 with retry_lock:
                     retry_queue.append((runner, batch))
+                _touch_export(0)  # keep-alive: matches single-process path
             elif jax.process_index() == 0:
                 export_slots.acquire()
                 export_futures.append(

@@ -536,6 +536,11 @@ class WatchService:
                 report = None
             finally:
                 if watchdog is not None:
+                    # Timer.cancel() cannot recall a callback already
+                    # executing: a scan finishing exactly at the deadline
+                    # may still exit 86 (same irreducible window as
+                    # utils/watchdog.py) — benign, the supervisor restart
+                    # resumes from the inbox ledger.
                     watchdog.cancel()
             n += 1
             if report is not None:

@@ -13,9 +13,11 @@ Host-side parity with the reference L4 layer (SURVEY.md §1):
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import pickle
+import warnings
 from typing import Dict, Optional
 
 import numpy as np
@@ -248,13 +250,20 @@ def load_npz(npz_path: str) -> Dict:
     if cfg is not None:
         from ventjax.config import VentConfig
 
-        try:
-            state["config"] = VentConfig(
-                **{k: tuple(v) if isinstance(v, list) else v
-                   for k, v in cfg.items()})
-        except TypeError:
-            # field drift across versions: keep the raw dict rather than fail
-            state["config"] = cfg
+        # Field drift across versions: unknown keys are dropped (with a
+        # warning) and missing ones take current defaults, so downstream
+        # consumers (exportHistogram/screenShot) always see a VentConfig,
+        # never a raw dict that would AttributeError far from the load site.
+        known = {f.name for f in dataclasses.fields(VentConfig)}
+        dropped = sorted(set(cfg) - known)
+        if dropped:
+            warnings.warn(
+                f"{npz_path}: artifact config keys {dropped} are unknown to "
+                f"this ventjax version; loading with current defaults",
+                stacklevel=2)
+        state["config"] = VentConfig(
+            **{k: tuple(v) if isinstance(v, list) else v
+               for k, v in cfg.items() if k in known})
     return state
 
 

@@ -79,10 +79,9 @@ class StallWatchdog:
             if idle >= self.timeout:
                 if self._stop.is_set():
                     return  # run completed while we were deciding
-                self._stop.set()  # fire exactly once
-                # NOTHING may prevent the exit: stderr can be a dead pipe
-                # (BrokenPipeError from print) — swallow everything, exit
-                # in finally.
+                # NOTHING may prevent reaching the exit decision: stderr can
+                # be a dead pipe (BrokenPipeError from print) — swallow
+                # every diagnostic failure.
                 try:
                     print(
                         f"ventjax watchdog: no {self.label} progress for "
@@ -94,5 +93,14 @@ class StallWatchdog:
                     faulthandler.dump_traceback(file=sys.stderr)
                 except Exception:  # noqa: BLE001 — never mask the exit
                     pass
-                finally:
-                    self._exit_fn(EXIT_CODE)
+                # Re-check after the (slow) diagnostics: a run that
+                # completed while the stacks printed stands down — the
+                # printed stacks are noise but the spurious restart is
+                # avoided.  A completion landing between this check and
+                # _exit_fn still exits 86; that residual window is
+                # irreducible for a hard watchdog and benign (.done
+                # markers make the supervisor restart a no-op).
+                if self._stop.is_set():
+                    return
+                self._stop.set()  # fire exactly once (test exit stubs return)
+                self._exit_fn(EXIT_CODE)
