@@ -2,6 +2,7 @@
 import json
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -445,3 +446,43 @@ def test_cli_cohort_progress_events(study_root, tmp_path, capsys):
     stages = {e["stage"] for e in events}
     assert {"decode", "analyze", "export"} <= stages
     assert events[-1]["done"] == events[-1]["total"] == 1
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs fake devices")
+def test_cli_analyze_shard_slices(tmp_path, capsys):
+    """analyze --shard-slices N: the oversize-volume path is reachable
+    without writing JAX, and its metrics match the unsharded run."""
+    root = str(tmp_path / "deep_study")
+    write_study(root, shape=(48, 48, 32), vox=(1.5, 1.5, 10.0), seed=9)
+    base = ["analyze", "--xenon", f"{root}/xenon.dcm",
+            "--mask", f"{root}/mask", "--max-defect", "1024"]
+    rc = main(base + ["--out", str(tmp_path / "o1"), "--shard-slices", "2"])
+    out1 = capsys.readouterr().out
+    assert rc == 0
+    rc = main(base + ["--out", str(tmp_path / "o2")])
+    out2 = capsys.readouterr().out
+    assert rc == 0
+    m1 = json.loads(out1[out1.index("{"):])
+    m2 = json.loads(out2[out2.index("{"):])
+    assert m1["CI"] == m2["CI"]
+    assert m1["VDP"] == m2["VDP"]
+
+
+def test_cli_analyze_shard_slices_rejects_thin_volume(study_root, tmp_path,
+                                                      capsys):
+    """8-slice study, 2 shards, rmax-50 halo (8 slices): the actionable
+    error surfaces as exit 2, not a traceback."""
+    rc = main(["analyze", "--xenon", f"{study_root}/xenon.dcm",
+               "--mask", f"{study_root}/mask", "--out", str(tmp_path / "o"),
+               "--max-defect", "1024", "--shard-slices", "2"])
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "halo" in err and ("too thin" in err or "at most" in err)
+
+
+def test_cli_analyze_shard_slices_bad_value(study_root, tmp_path, capsys):
+    rc = main(["analyze", "--xenon", f"{study_root}/xenon.dcm",
+               "--mask", f"{study_root}/mask", "--out", str(tmp_path / "o"),
+               "--shard-slices", "many"])
+    assert rc == 2
+    assert "integer or 'auto'" in capsys.readouterr().err

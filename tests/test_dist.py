@@ -77,3 +77,72 @@ def test_spatial_sharded_pipeline_matches_unsharded():
         np.asarray(res_s.ci_map), np.asarray(res_u.ci_map), atol=1e-6,
     )
     assert np.all(np.isfinite(np.asarray(res_s.metrics.vdp)))
+
+
+# ---- Productized slice-sharded CI (ventjax.dist.halo product surface) ------
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs fake devices")
+def test_calculate_ci_sharded_pads_nondivisible_depth(rng):
+    """D=28 over 8 shards (not divisible): the product surface pads the
+    slice axis and stays bit-identical to the unsharded engine."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry, calculate_ci_pairwise,
+    )
+
+    H, W, D = 40, 36, 28
+    defect = (rng.random((H, W, D)) > 0.985).astype(np.float32)
+    defect[0:3, 0:3, 25:28] = 1   # cluster at the (padded) depth border
+    defect[0, 0, 0] = 1
+    # rmax 16 -> halo 3 slices: 8 shards of the padded 32-slice volume give
+    # 4-slice shards, legal; rmax 50's 8-slice halo would need <=4 shards.
+    geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
+    ci_s, nsat_s, ovf_s = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=8, max_defect_voxels=2048,
+    )
+    ci_u, nsat_u, _ = calculate_ci_pairwise(jnp.asarray(defect), geom, 2048)
+    assert not bool(ovf_s)
+    assert ci_s.shape == (H, W, D)
+    assert np.array_equal(np.asarray(ci_s), np.asarray(ci_u))
+    assert int(nsat_s) == int(nsat_u)
+
+
+def test_calculate_ci_sharded_rejects_ladder_geometry():
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci import build_ci_geometry
+
+    geom = build_ci_geometry(VOX, (32, 32, 8), 12, "wrap")
+    with pytest.raises(ValueError, match="pairwise engine"):
+        calculate_ci_sharded(jnp.zeros((32, 32, 8)), geom, n_shards=2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs fake devices")
+def test_calculate_ci_sharded_rejects_too_many_shards():
+    """Halo wider than a shard: the error must tell the user the usable
+    shard count instead of asserting."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import build_ci_pairwise_geometry
+
+    # vox (1.5,1.5,10): reach = floor(49.99/6.67)+1 = 8 slices of halo; 8
+    # shards of an 8-slice volume give 1-slice shards -> reject.
+    geom = build_ci_pairwise_geometry(VOX, (32, 32, 8), 50, "wrap")
+    with pytest.raises(ValueError, match="too thin|at most"):
+        calculate_ci_sharded(jnp.zeros((32, 32, 8)), geom, n_shards=8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs fake devices")
+def test_ci_module_shard_slices_config(rng):
+    """compat CI.calculate_CI honors config.ci_shard_slices and matches the
+    single-device result bit for bit."""
+    from ventjax.compat import ci_module
+
+    defect = np.zeros((40, 36, 16), np.float64)
+    defect[5:12, 6:13, 2:5] = 1
+    defect[20:28, 18:28, 9:13] = 1
+    defect[0, 0, 0] = 1
+    single = ci_module.calculate_CI(defect, vox=VOX, Rmax=16)
+    sharded = ci_module.calculate_CI(
+        defect, vox=VOX, Rmax=16,
+        config=DEFAULT_CONFIG.replace(ci_shard_slices=4),
+    )
+    assert np.array_equal(sharded, single)

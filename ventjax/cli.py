@@ -49,6 +49,19 @@ def _cmd_analyze(args) -> int:
         cfg = study.config
     if args.max_defect:
         cfg = cfg.replace(ci_max_defect_voxels=args.max_defect)
+    if args.shard_slices:
+        if args.shard_slices == "auto":
+            import jax
+
+            n_shards = len(jax.devices())
+        else:
+            try:
+                n_shards = int(args.shard_slices)
+            except ValueError:
+                print(f"error: --shard-slices must be an integer or 'auto', "
+                      f"got {args.shard_slices!r}", file=sys.stderr)
+                return 2
+        cfg = cfg.replace(ci_shard_slices=n_shards)
 
     if args.mask is None and not args.auto_mask:
         print("error: provide --mask FOLDER or --auto-mask (with --seg-ckpt)",
@@ -117,7 +130,13 @@ def _cmd_analyze(args) -> int:
         ))
     v.calculate_VDP(thresh=args.thresh)
     if not args.no_ci:
-        v.calculate_CI()
+        try:
+            v.calculate_CI()
+        except ValueError as e:
+            # e.g. --shard-slices on a geometry the pairwise engine rejects,
+            # or more shards than the halo allows — actionable user input.
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     v.metadata["analysisUser"] = args.user
     v.metadata["DE"] = args.de or ""
     v.metadata["FEV1"] = args.fev1 or ""
@@ -641,6 +660,11 @@ def main(argv=None) -> int:
                    "(pickle-free; loads anywhere NumPy exists)")
     a.add_argument("--denoise", type=float, default=None, metavar="THRESH",
                    help="Haar-wavelet denoise the xenon volume first")
+    a.add_argument("--shard-slices", default=None, metavar="N|auto",
+                   help="oversize volumes: shard the CI slice axis over N "
+                   "devices ('auto' = all visible devices) via halo "
+                   "exchange — bit-identical to unsharded (requires the "
+                   "pairwise CI engine)")
     a.set_defaults(fn=_cmd_analyze)
 
     e = sub.add_parser(

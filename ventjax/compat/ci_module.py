@@ -117,6 +117,17 @@ def calculate_CI(
     # similar defect loads reuse the compiled program.
     n_def = int((defect != 0).sum())
     k = max(256, 1 << int(np.ceil(np.log2(max(n_def, 1)))))
+    if cfg.ci_shard_slices and cfg.ci_shard_slices > 1:
+        # Oversize-volume path: slice-shard the CI over devices (halo
+        # exchange, bit-identical; ventjax.dist.halo).  Raises with an
+        # actionable message for non-pairwise geometries.
+        from ventjax.dist.halo import calculate_ci_sharded
+
+        ci_map, _, _ = calculate_ci_sharded(
+            jnp.asarray(defect.astype(np.float32)), geom,
+            n_shards=cfg.ci_shard_slices, max_defect_voxels=k,
+        )
+        return np.asarray(ci_map, dtype=np.float64)
     if isinstance(geom, CIPairwiseGeometry):
         ci_map, _, _ = calculate_ci_pairwise(
             jnp.asarray(defect.astype(np.float32)), geom, max_defect_voxels=k

@@ -80,6 +80,11 @@ class VentConfig:
     # "ladder" (stage-laddered indicator gathers), or "full" (flat gather
     # scan).  All three are exact; they differ only in speed.
     ci_engine: str = "pairwise"
+    # Slice-axis sharding for oversize volumes: 0/1 = single device, N > 1 =
+    # shard the CI slice axis over the first N devices via halo exchange
+    # (ventjax.dist.halo; bit-identical to unsharded).  Requires the
+    # pairwise engine; CLI `analyze --shard-slices N|auto`.
+    ci_shard_slices: int = 0
 
     # ---- N4 bias-field correction (ITK defaults; Vent_Analysis.py:316-334) ---
     # The reference calls SimpleITK's N4BiasFieldCorrectionImageFilter with all

@@ -7,11 +7,17 @@ only needs *witness* defect voxels within the sphere reach, so each device
 ppermutes boundary slabs of width ceil(r_last/scale_z)+1 with its neighbors
 (one slab of slack covers the wrap-alias candidates, which shift dk by at
 most 1) and runs the exact engine on (local centers, local+halo witnesses).
-Results are bit-identical to the unsharded engine (tests/test_dist.py).
+Results are bit-identical to the unsharded engine (tests/test_dist.py,
+tests/test_models.py).
+
+Product surface: ``calculate_ci_sharded`` pads the slice axis to the mesh,
+builds/caches the jitted program, and returns the same (ci_map, n_saturated,
+overflow) triple as ``calculate_ci_pairwise`` — reachable from the CLI via
+``analyze --shard-slices`` (config ``ci_shard_slices``).
 """
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 import jax
@@ -28,21 +34,55 @@ def halo_width(geom: CIPairwiseGeometry) -> int:
     return reach + 1  # +1: wrap-alias candidates shift dk by +-1
 
 
+def padded_depth_for(depth: int, n_shards: int) -> int:
+    """Smallest multiple of n_shards >= depth (zero-padding the slice axis
+    adds no defect voxels and — with the geometry kept at the ORIGINAL
+    shape — no alias images, so results stay bit-identical)."""
+    return -(-depth // n_shards) * n_shards
+
+
 def make_sliced_ci_fn(
     geom: CIPairwiseGeometry,
     mesh: Mesh,
     axis_name: str = "space",
     max_defect_per_shard: int = 2048,
     witness_pad: int = 4096,
+    padded_depth: Optional[int] = None,
 ):
-    """Build a jitted fn: defect [H,W,D] (D sharded) -> (ci_map, n_saturated,
-    overflow) with the same semantics as calculate_ci_pairwise."""
+    """Build a jitted fn: defect [H,W,Dp] (Dp sharded) -> (ci_map, n_saturated,
+    overflow) with the same semantics as calculate_ci_pairwise.
+
+    ``padded_depth`` (default: geom depth D) is the physical array depth Dp;
+    it must be a multiple of the mesh axis and >= D.  The CI geometry —
+    including the reference's wrap-alias images — is always that of the
+    ORIGINAL (H, W, D) volume; pad slices are dead space holding no centers
+    and no witnesses, so a zero-padded call is bit-identical to the
+    unsharded engine on the unpadded volume.
+    """
     H, W, D = geom.shape
     n_shards = mesh.shape[axis_name]
-    assert D % n_shards == 0, "slice axis must divide the mesh"
-    dl = D // n_shards
+    Dp = D if padded_depth is None else int(padded_depth)
+    if Dp < D:
+        raise ValueError(f"padded_depth {Dp} is smaller than the volume depth {D}")
+    if Dp % n_shards != 0:
+        raise ValueError(
+            f"slice axis must divide the mesh: pad the volume to "
+            f"{padded_depth_for(Dp, n_shards)} slices "
+            f"(ventjax.dist.halo.padded_depth_for) or use calculate_ci_sharded, "
+            f"which pads automatically"
+        )
+    dl = Dp // n_shards
     hz = halo_width(geom)
-    assert hz <= dl, "halo wider than a shard; use fewer shards"
+    if hz > dl:
+        n_max = Dp // hz
+        hint = (f"use at most {n_max} shards" if n_max >= 2 else
+                "this volume is too thin to shard — run without "
+                "--shard-slices")
+        raise ValueError(
+            f"halo width {hz} slices exceeds the {dl}-slice shard depth for "
+            f"{n_shards} shards; {hint}, or use a smaller ci_rmax (the halo "
+            f"is the sphere reach along the slice axis)"
+        )
     M = geom.n_balls
     K = max_defect_per_shard
     SENT = jnp.int32(1 << 20)
@@ -111,3 +151,71 @@ def make_sliced_ci_fn(
         out_specs=(spec, P(), P()),
         check_vma=False,
     ))
+
+
+# One compiled program per (geometry key, mesh devices, pads); the geometry
+# builder is itself lru-cached on the same key, so identity matches.
+_FN_CACHE: dict = {}
+
+
+def calculate_ci_sharded(
+    defect: jnp.ndarray,
+    geom: CIPairwiseGeometry,
+    mesh: Optional[Mesh] = None,
+    axis_name: str = "space",
+    n_shards: Optional[int] = None,
+    max_defect_voxels: int = 8192,
+    witness_pad: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Oversize-volume CI, slice-sharded over devices — the product surface.
+
+    Same contract as ``calculate_ci_pairwise`` (bit-identical results,
+    (ci_map, n_saturated, overflow) triple); the volume's slice axis is
+    zero-padded to the mesh automatically.  ``max_defect_voxels`` is the
+    per-shard center budget (a safe upper bound is the whole-volume defect
+    count); witnesses per shard are bounded by the whole-volume count, so
+    ``witness_pad`` defaults to ``max_defect_voxels``.
+
+    Raises ValueError with an actionable message when the geometry cannot
+    shard (non-pairwise geometry, or more shards than the halo allows).
+    """
+    if not isinstance(geom, CIPairwiseGeometry):
+        raise ValueError(
+            "slice-sharded CI requires the pairwise engine, but this voxel "
+            "geometry failed its float32 exactness proof and fell back to "
+            "the gather-ladder engine (see pipeline.analyze.build_geometry). "
+            "Run unsharded, or change vox/ci_rmax to a geometry the pairwise "
+            "engine accepts."
+        )
+    H, W, D = geom.shape
+    if defect.shape != (H, W, D):
+        raise ValueError(f"defect shape {defect.shape} != geometry {geom.shape}")
+    if mesh is None:
+        devices = jax.devices()
+        n = n_shards or len(devices)
+        if n > len(devices):
+            raise ValueError(
+                f"--shard-slices {n} exceeds the {len(devices)} visible "
+                f"device(s); use at most {len(devices)} shards"
+            )
+        mesh = Mesh(np.asarray(devices[:n]), (axis_name,))
+    n = mesh.shape[axis_name]
+    Dp = padded_depth_for(D, n)
+    wpad = int(witness_pad) if witness_pad is not None else int(max_defect_voxels)
+
+    key = (geom.vox, geom.shape, geom.rmax, geom.border_mode,
+           tuple(d.id for d in mesh.devices.flat), axis_name,
+           int(max_defect_voxels), wpad, Dp)
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = make_sliced_ci_fn(
+            geom, mesh, axis_name,
+            max_defect_per_shard=int(max_defect_voxels),
+            witness_pad=wpad, padded_depth=Dp,
+        )
+        _FN_CACHE[key] = fn
+    padded = defect
+    if Dp != D:
+        padded = jnp.pad(defect, ((0, 0), (0, 0), (0, Dp - D)))
+    ci, nsat, ovf = fn(padded)
+    return ci[:, :, :D], nsat, ovf
