@@ -280,3 +280,116 @@ def test_four_process_sharded_export(tmp_path):
         assert m["valid"]
         exporters.add(m["export_process"])
     assert exporters == {0, 1, 2}, exporters
+
+
+def test_four_process_shard_export_writer_crash(tmp_path):
+    """shard_export=True failure injection (VERDICT r3 item 7): a WRITER
+    process dies mid-file while exporting its second owned lane.  The
+    .done-last invariant must hold per shard: the torn lane has no marker
+    and a fresh run re-exports it (valid NIfTI + metrics), while every
+    lane made durable before the crash — by ANY writer — is untouched."""
+    import json
+    import re
+    import time
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ventjax.io import nifti
+    from ventjax.io.synthetic import write_study
+
+    workdir = str(tmp_path)
+    nproc, bs, nsub = 4, 8, 16
+    manifest = []
+    for i in range(nsub):
+        root = os.path.join(workdir, f"study{i}")
+        write_study(root, shape=(32, 32, 8), vox=(1.5, 1.5, 10.0),
+                    seed=200 + i, with_proton=False)
+        manifest.append({"id": f"s{i:02d}", "xenon": f"{root}/xenon.dcm",
+                         "mask": f"{root}/mask"})
+    with open(os.path.join(workdir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_shard_crash_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    outdir = os.path.join(workdir, "out")
+
+    # ---- run 1: writer process 2 tears its second owned lane --------------
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(nproc),
+             workdir, "2"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(nproc)
+    ]
+    try:
+        out2, _ = procs[2].communicate(timeout=420)
+        assert procs[2].returncode == 43, out2
+        torn = re.findall(r"TORN (\S+)", out2)
+        wrote = re.findall(r"WROTE (\S+)", out2)
+        assert len(torn) == 1 and len(wrote) == 1, out2
+        torn_sid = torn[0]
+        # give the surviving writers a moment to settle their batch-1 lanes
+        time.sleep(5)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait(timeout=60)
+
+    # torn lane: partial NIfTI on disk, NO .done, NO metrics.json
+    tdir = os.path.join(outdir, torn_sid)
+    assert os.path.exists(os.path.join(tdir, f"{torn_sid}_dataArray.nii"))
+    assert not os.path.exists(os.path.join(tdir, ".done")), \
+        "torn export must not be marked done"
+    assert not os.path.exists(os.path.join(tdir, "metrics.json"))
+    with pytest.raises(ValueError):
+        nifti.load(os.path.join(tdir, f"{torn_sid}_dataArray.nii"))
+
+    # lanes durable before the crash (from any writer): record mtimes
+    durable = [e["id"] for e in manifest
+               if os.path.exists(os.path.join(outdir, e["id"], ".done"))]
+    assert wrote[0] in durable
+    mtimes = {s: os.stat(os.path.join(outdir, s, "metrics.json")).st_mtime_ns
+              for s in durable}
+
+    # ---- run 2: fresh processes recover --------------------------------
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid), str(nproc),
+             workdir, "-1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"recovery process {pid} failed:\n{out}"
+        assert "SHARD_CRASH_WORKER_DONE" in out, out
+
+    for i in range(nsub):
+        s = f"s{i:02d}"
+        sdir = os.path.join(outdir, s)
+        assert os.path.exists(os.path.join(sdir, ".done")), s
+        m = json.load(open(os.path.join(sdir, "metrics.json")))
+        assert m["valid"], m
+        data, _ = nifti.load(os.path.join(sdir, f"{s}_dataArray.nii"))
+        assert data.shape == (32, 32, 8, 6), s
+        if s in mtimes:  # exactly-once: pre-crash durable lanes untouched
+            assert os.stat(os.path.join(
+                sdir, "metrics.json")).st_mtime_ns == mtimes[s], s

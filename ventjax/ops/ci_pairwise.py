@@ -276,7 +276,22 @@ def calculate_ci_pairwise(
     jj = jnp.where(valid, ((cidx // D) % W).astype(jnp.int32), -SENT)
     kk = jnp.where(valid, (cidx % D).astype(jnp.int32), SENT)
 
+    if use_pallas is None:
+        # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
+        # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
+        # at small K where kernel launch/tiling overhead dominates.  TPU
+        # only — the Mosaic kernels do not lower on other accelerators
+        # (same gate as n4.py auto_ok).
+        use_pallas = jax.default_backend() == "tpu" and K >= 2048
+    if use_pallas and (K % min(128, K) or K % min(512, K)):
+        use_pallas = False  # non-tileable pad; the XLA head handles any K
+
     ns = min(int(head_balls), M - 1)
+    if use_pallas:
+        # The VMEM kernel computes 128 lane-aligned ball slots regardless
+        # of ns, so the extra head coverage is free — and each extra ball
+        # resolved in the head is one fewer row for the (sort-based) tail.
+        ns = min(max(ns, 128), M - 1)
     r2 = jnp.asarray(geom.r2_32)
     t_head = jnp.asarray(((geom.rows_ball + 1) // 2)[:ns].astype(np.float32))
 
@@ -296,15 +311,6 @@ def calculate_ci_pairwise(
         fail_head = jnp.concatenate(fails, axis=1)
         return jnp.any(fail_head, axis=1), jnp.argmax(fail_head, axis=1)
 
-    if use_pallas is None:
-        # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
-        # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
-        # at small K where kernel launch/tiling overhead dominates.  TPU
-        # only — the Mosaic kernels do not lower on other accelerators
-        # (same gate as n4.py auto_ok).
-        use_pallas = jax.default_backend() == "tpu" and K >= 2048
-    if use_pallas and (K % min(128, K) or K % min(512, K)):
-        use_pallas = False  # non-tileable pad; the XLA head handles any K
     if use_pallas:
         from ventjax.ops.ci_pallas import head_counts_pallas
 
@@ -313,6 +319,7 @@ def calculate_ci_pairwise(
             combos=tuple(_alias_combos(geom)),
             scale=geom.scale,
             ns=ns,
+            rmax=geom.rmax,
             interpret=jax.default_backend() == "cpu",
         )
         fail_head = counts < t_head[None, :]

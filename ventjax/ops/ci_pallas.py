@@ -31,48 +31,87 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _head_kernel(ci_ref, cj_ref, ck_ref, wi_ref, wj_ref, wk_ref,
-                 r2_ref, counts_ref, *, combos, scale, n_wblocks):
+def _head_kernel(vim_ref, vix_ref, vjm_ref, vjx_ref,
+                 wim_ref, wix_ref, wjm_ref, wjx_ref,
+                 ci_ref, cj_ref, ck_ref, wi_ref, wj_ref, wk_ref,
+                 r2_ref, counts_ref, dmin_ref, *, combos, scale, rmax):
     """One (center-block, witness-block) grid cell: accumulate ball counts.
 
     ci/cj/ck: [ROWS, 1] i32 center coords; wi/wj/wk: [1, WB] i32 witness
     coords; r2: [1, NS] f32 squared ball radii; counts: [ROWS, NS] f32,
     accumulated across the witness grid dimension (TPU grids run
     sequentially, so in-place accumulation is safe).
+
+    Block-level combo skipping (the severe-disease lever): the prefetched
+    per-block coordinate ranges (vim/vix = center-i min/max per row block,
+    w* = witness ranges per witness block) prove most alias combos — and
+    for far-apart cluster pairs the whole cell — infeasible: a combo can
+    contribute counts only if some pair has |wi-vi+p| <= rmax AND
+    |wj-vj+q| <= rmax (scale >= 1 makes the box check an upper bound on
+    d2 <= r_last^2).  Skips are interval tests on SMEM scalars, so they
+    are conservative under the +-SENT sentinel padding (sentinels only
+    widen the intervals) and results stay bit-equal to the XLA head.
     """
+    iblk = pl.program_id(0)
     jblk = pl.program_id(1)
 
     @pl.when(jblk == 0)
     def _():
         counts_ref[:, :] = jnp.zeros_like(counts_ref)
 
-    s0, s1, s2 = scale
-    inf = jnp.float32(np.inf)
-    dmin2 = None
-    for (p, q, s) in combos:
-        oi = (wi_ref[:, :] - ci_ref[:, :]) + p
-        oj = (wj_ref[:, :] - cj_ref[:, :]) + q
-        ok_ = (wk_ref[:, :] - ck_ref[:, :]) + s
-        fx = oi.astype(jnp.float32) * s0
-        fy = oj.astype(jnp.float32) * s1
-        fz = ok_.astype(jnp.float32) * s2
-        d2 = fx * fx + fy * fy + fz * fz
-        dmin2 = d2 if dmin2 is None else jnp.minimum(dmin2, d2)
+    vim = vim_ref[iblk]
+    vix = vix_ref[iblk]
+    vjm = vjm_ref[iblk]
+    vjx = vjx_ref[iblk]
+    wim = wim_ref[jblk]
+    wix = wix_ref[jblk]
+    wjm = wjm_ref[jblk]
+    wjx = wjx_ref[jblk]
 
-    ns_pad = counts_ref.shape[1]
-    # 8-radius sub-blocks with the radius on the sublane dim: the
-    # [ROWS, 8, WB] compare intermediate tiles cleanly (f32 sublane 8,
-    # lane WB) and stays in VMEM.
-    for a in range(0, ns_pad, 8):
-        r2blk = r2_ref[0:1, a:a + 8].reshape(1, 8, 1)
-        blk = jnp.sum(
-            (dmin2[:, None, :] <= r2blk).astype(jnp.float32), axis=2
-        )
-        counts_ref[:, a:a + 8] += blk
+    feasible = []
+    for (p, q, s) in combos:
+        # oi = wi - ci + p spans [wim - vix + p, wix - vim + p]; the combo
+        # is live iff that interval meets [-rmax, rmax] (same for j; the
+        # slice axis is never more than one shard of shells and is left
+        # unchecked).
+        fi = (wim - vix + p <= rmax) & (wix - vim + p >= -rmax)
+        fj = (wjm - vjx + q <= rmax) & (wjx - vjm + q >= -rmax)
+        feasible.append(fi & fj)
+    cell_live = feasible[0]
+    for f in feasible[1:]:
+        cell_live = cell_live | f
+
+    @pl.when(cell_live)
+    def _():
+        s0, s1, s2 = scale
+        dmin_ref[:, :] = jnp.full_like(dmin_ref, jnp.inf)
+        for (p, q, s), feas in zip(combos, feasible):
+            @pl.when(feas)
+            def _(p=p, q=q, s=s):
+                oi = (wi_ref[:, :] - ci_ref[:, :]) + p
+                oj = (wj_ref[:, :] - cj_ref[:, :]) + q
+                ok_ = (wk_ref[:, :] - ck_ref[:, :]) + s
+                fx = oi.astype(jnp.float32) * s0
+                fy = oj.astype(jnp.float32) * s1
+                fz = ok_.astype(jnp.float32) * s2
+                d2 = fx * fx + fy * fy + fz * fz
+                dmin_ref[:, :] = jnp.minimum(dmin_ref[:, :], d2)
+
+        ns_pad = counts_ref.shape[1]
+        dmin2 = dmin_ref[:, :]
+        # 8-radius sub-blocks with the radius on the sublane dim: the
+        # [ROWS, 8, WB] compare intermediate tiles cleanly (f32 sublane 8,
+        # lane WB) and stays in VMEM.
+        for a in range(0, ns_pad, 8):
+            r2blk = r2_ref[0:1, a:a + 8].reshape(1, 8, 1)
+            blk = jnp.sum(
+                (dmin2[:, None, :] <= r2blk).astype(jnp.float32), axis=2
+            )
+            counts_ref[:, a:a + 8] += blk
 
 
 @functools.partial(
-    jax.jit, static_argnames=("combos", "scale", "ns", "interpret")
+    jax.jit, static_argnames=("combos", "scale", "ns", "rmax", "interpret")
 )
 def head_counts_pallas(
     ci: jnp.ndarray, cj: jnp.ndarray, ck: jnp.ndarray,
@@ -81,6 +120,7 @@ def head_counts_pallas(
     combos: Tuple[Tuple[int, int, int], ...],
     scale: Tuple[float, float, float],
     ns: int,
+    rmax: int = 50,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[K, ns] f32 ball hit counts for the first ns balls."""
@@ -95,27 +135,46 @@ def head_counts_pallas(
         r2_head.astype(jnp.float32))
 
     grid = (K // ROWS, Kw // WB)
-    cspec = pl.BlockSpec((ROWS, 1), lambda i, j: (i, 0),
+    # Per-block coordinate ranges for the kernel's combo-skip interval
+    # tests (compaction emits centers/witnesses in ascending flat order, so
+    # blocks are spatially coherent and the ranges are tight).
+    vim = ci.reshape(-1, ROWS).min(axis=1)
+    vix = ci.reshape(-1, ROWS).max(axis=1)
+    vjm = cj.reshape(-1, ROWS).min(axis=1)
+    vjx = cj.reshape(-1, ROWS).max(axis=1)
+    wim = wi.reshape(-1, WB).min(axis=1)
+    wix = wi.reshape(-1, WB).max(axis=1)
+    wjm = wj.reshape(-1, WB).min(axis=1)
+    wjx = wj.reshape(-1, WB).max(axis=1)
+
+    # index maps receive the 8 prefetched scalar refs after the grid ids
+    cspec = pl.BlockSpec((ROWS, 1), lambda i, j, *_: (i, 0),
                          memory_space=pltpu.VMEM)
-    wspec = pl.BlockSpec((1, WB), lambda i, j: (0, j),
+    wspec = pl.BlockSpec((1, WB), lambda i, j, *_: (0, j),
                          memory_space=pltpu.VMEM)
-    rspec = pl.BlockSpec((1, ns_pad), lambda i, j: (0, 0),
+    rspec = pl.BlockSpec((1, ns_pad), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ROWS, ns_pad), lambda i, j: (i, 0),
+    out_spec = pl.BlockSpec((ROWS, ns_pad), lambda i, j, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
         _head_kernel, combos=tuple(combos), scale=tuple(scale),
-        n_wblocks=grid[1],
+        rmax=int(rmax),
     )
-    counts = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=8,
         grid=grid,
         in_specs=[cspec, cspec, cspec, wspec, wspec, wspec, rspec],
         out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((ROWS, WB), jnp.float32)],
+    )
+    counts = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, ns_pad), jnp.float32),
         interpret=interpret,
     )(
+        vim, vix, vjm, vjx, wim, wix, wjm, wjx,
         ci.reshape(K, 1), cj.reshape(K, 1), ck.reshape(K, 1),
         wi.reshape(1, Kw), wj.reshape(1, Kw), wk.reshape(1, Kw),
         r2p,
