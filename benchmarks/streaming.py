@@ -97,7 +97,7 @@ def main() -> None:
             # keep the batched device->host transfer (it IS the flag read)
             # but skip all file I/O.
             C._write_subject = (
-                lambda out_dir, entry, decoded, pack, results, lock:
+                lambda out_dir, entry, decoded, pack, results, lock, **kw:
                 results.append({"id": entry["id"],
                                 **pack["metrics"].as_dict()}))
         try:

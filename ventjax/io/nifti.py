@@ -55,12 +55,20 @@ def save(path: str, data: np.ndarray, affine: np.ndarray | None = None,
     struct.pack_into("<4f", hdr, 312, *affine[2])
     hdr[344:348] = b"n+1\x00"
 
-    payload = bytes(hdr) + b"\x00\x00\x00\x00" + np.asfortranarray(data).tobytes(order="F")
+    # One transpose copy total: tobytes(order="F") serializes a C-ordered
+    # array in Fortran order directly (asfortranarray first would add a
+    # second full copy), and header/extender/payload are written as three
+    # buffers instead of concatenated into a fourth.
+    payload = data.tobytes(order="F")
     if path.endswith(".gz"):
         with gzip.open(path, "wb") as f:
+            f.write(bytes(hdr))
+            f.write(b"\x00\x00\x00\x00")
             f.write(payload)
     else:
         with open(path, "wb") as f:
+            f.write(hdr)
+            f.write(b"\x00\x00\x00\x00")
             f.write(payload)
 
 

@@ -161,7 +161,38 @@ class _GeometryRunner:
                 ci_max_defect_voxels=ci_pad, n4_mask_pad=n4_pad
             )
             geom = build_geometry(self.vox, self.shape, cfg)
-            f = lambda h, m: analyze_cohort(h, m, geom, cfg)
+
+            ci_pad_k = ci_pad
+
+            def f(h, m):
+                res = analyze_cohort(h, m, geom, cfg)
+                # Narrow the export payload IN-GRAPH (an eager astype on
+                # the dispatch thread wedges the axon tunnel, docs/PERF.md):
+                # - defect is 0/1 -> uint8, exact (host re-casts);
+                # - the dense f32 ci_map carries at most ci_pad nonzero
+                #   values, all sitting on defect voxels in ascending flat
+                #   order (the engines' own compaction) -> ship just those
+                #   K gathered values and rebuild the dense map host-side
+                #   (_densify_ci), bit-exact including the overflow-lane
+                #   truncation the engine itself performs.
+                # Together: 2.36 MB -> 1.33 MB per subject on a 39 MB/s
+                # link (benchmarks/streaming.py tracks the effect).
+                from ventjax.ops.basic import compact_mask_indices
+
+                def lane_cv(defect, ci_map):
+                    cidx, n_def = compact_mask_indices(
+                        defect.reshape(-1) != 0, ci_pad_k)
+                    return ci_map.reshape(-1)[cidx], n_def
+
+                ci_cv, n_def = jax.vmap(lane_cv)(res.defect, res.ci_map)
+                return {
+                    "n4": res.n4,
+                    "defect": res.defect.astype(jnp.uint8),
+                    "ci_cv": ci_cv,
+                    "n_def": n_def,
+                    "metrics": res.metrics,
+                }
+
             if self.mesh is not None:
                 f = shard_cohort_fn(f, self.mesh)
             self._fns[key] = jax.jit(f)
@@ -427,17 +458,11 @@ def run_cohort(
 
     def submit_export(runner, batch, res, pads, is_retry=False):
         nonlocal n_done
-        # Transfer ONLY what the export writes: n4, defect, ci_map,
-        # metrics.  The full VentResult would also ship defect_lb/
-        # defect_km/defect_border — 3 unused volumes, nearly tripling the
-        # payload on a link measured at 39 MB/s (docs/PERF.md streaming
-        # decomposition).
-        pack = {
-            "n4": res.n4,
-            "defect": res.defect,
-            "ci_map": res.ci_map,
-            "metrics": res.metrics,
-        }
+        # `res` is already the narrowed export pack (n4 f32, defect uint8,
+        # compacted ci_cv + n_def, metrics) built in-graph by the runner's
+        # jitted fn — everything else of VentResult never leaves the
+        # device (the link measured 39 MB/s, docs/PERF.md).
+        pack = res
         if multihost and shard_export and runner.mesh is not None:
             # Allgather ONLY the small per-lane metrics (the overflow/retry
             # decision must be identical on every process); the big result
@@ -476,7 +501,7 @@ def run_cohort(
                 # np.asarray shard reads stay on the dispatch thread like
                 # every other device touch.
                 local: Dict[int, Dict] = {}
-                for k in ("n4", "defect", "ci_map"):
+                for k in ("n4", "defect", "ci_cv", "n_def"):
                     for s in pack[k].addressable_shards:
                         lo = s.index[0].start or 0
                         data = np.asarray(s.data)
@@ -621,13 +646,35 @@ def run_cohort(
     return results
 
 
+def _densify_ci(pack: Dict) -> np.ndarray:
+    """Rebuild the dense CI map from the compacted transfer.
+
+    The engines write CI values only at defect voxels, in ascending flat
+    (C-order) position — the same compaction order `ci_cv` was gathered
+    in — so scattering the first n_def values back over
+    flatnonzero(defect) reproduces the device's dense map bit-for-bit,
+    including the first-K truncation an overflowed lane has on device
+    (metrics.ci_overflow flags those; the cohort driver retries them at
+    grown pads before they ever reach export)."""
+    defect = np.asarray(pack["defect"])
+    cv = np.asarray(pack["ci_cv"])
+    n = min(int(pack["n_def"]), cv.shape[0])
+    ci = np.zeros(defect.size, np.float32)
+    idx = np.flatnonzero(defect.reshape(-1))[:n]
+    ci[idx] = cv[:len(idx)]
+    return ci.reshape(defect.shape)
+
+
 def _write_subject(out_dir, entry, decoded, pack, results, lock,
                    npz=False, config=None, record=True,
                    exporter=None) -> None:
-    """pack: host-side dict with n4 (f32), defect (uint8), ci_map (f32),
-    metrics (StudyMetrics) for ONE subject.  record=False skips the
-    results append (shard_export records metrics on the dispatch thread);
-    exporter stamps which process wrote the files into metrics.json."""
+    """pack: host-side dict with n4 (f32), defect (uint8), compacted
+    ci_cv/n_def (see _densify_ci), metrics (StudyMetrics) for ONE subject.
+    record=False skips the results append (shard_export records metrics on
+    the dispatch thread); exporter stamps which process wrote the files
+    into metrics.json."""
+    pack = dict(pack)
+    pack["ci_map"] = _densify_ci(pack)
     hp, mask, vox, ds, proton = decoded
     sid = entry["id"]
     sdir = os.path.join(out_dir, sid)
