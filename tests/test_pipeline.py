@@ -115,3 +115,50 @@ def test_pipeline_under_debug_checks():
     finally:
         jax.config.update("jax_debug_nans", False)
         jax.config.update("jax_debug_infs", False)
+
+
+def test_cohort_export_pack_densifies_bitwise():
+    """The cohort runner's narrowed export pack (uint8 defect + <=K
+    compacted CI values) must rebuild the dense defect/CI maps
+    bit-identically to the full VentResult (round-4 transfer cut)."""
+    from ventjax.pipeline.analyze import analyze_cohort, build_geometry
+    from ventjax.pipeline.cohort import _GeometryRunner, _densify_ci
+
+    shape, vox = (32, 32, 8), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=512, ci_rmax=12, n4_fitting_levels=2,
+        n4_max_iters=5,
+    )
+    hp, mask, _ = make_cohort(4, shape=shape, vox=vox, seed=21)
+    runner = _GeometryRunner(shape, vox, cfg, mesh=None, batch_size=4)
+    pack = runner._fn(512, 8192)(jnp.asarray(hp), jnp.asarray(mask))
+
+    geom = build_geometry(vox, shape, cfg.replace(n4_mask_pad=8192))
+    res = jax.jit(lambda h, m: analyze_cohort(
+        h, m, geom, cfg.replace(n4_mask_pad=8192)))(
+        jnp.asarray(hp), jnp.asarray(mask))
+
+    assert pack["defect"].dtype == jnp.uint8
+    for lane in range(4):
+        lane_pack = jax.tree_util.tree_map(lambda x: np.asarray(x[lane]),
+                                           pack)
+        ci = _densify_ci(lane_pack)
+        assert np.array_equal(ci, np.asarray(res.ci_map[lane]))
+        assert np.array_equal(lane_pack["defect"].astype(np.float32),
+                              np.asarray(res.defect[lane]))
+        assert np.array_equal(np.asarray(lane_pack["n4"]),
+                              np.asarray(res.n4[lane]))
+
+
+def test_densify_ci_truncates_overflow_lane_like_device():
+    """A lane whose defect count exceeds the pad rebuilds exactly the
+    device's own first-K truncation (flagged upstream, never silent)."""
+    from ventjax.pipeline.cohort import _densify_ci
+
+    defect = np.zeros((4, 4, 4), np.uint8)
+    defect.reshape(-1)[:10] = 1  # 10 defect voxels
+    cv = np.arange(1, 7, dtype=np.float32)  # pad K=6 < 10
+    ci = _densify_ci({"defect": defect, "ci_cv": cv, "n_def": 10})
+    flat = ci.reshape(-1)
+    assert np.array_equal(flat[:6], cv)
+    assert not flat[6:].any()
