@@ -146,3 +146,94 @@ def test_ci_module_shard_slices_config(rng):
         config=DEFAULT_CONFIG.replace(ci_shard_slices=4),
     )
     assert np.array_equal(sharded, single)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs fake devices")
+def test_sharded_ci_two_phase_pallas_head_bit_equal(rng):
+    """The per-shard two-phase engine with the Pallas head kernel forced
+    (interpreted on CPU) stays bit-identical to the unsharded engine —
+    the oversize-volume latency path exercises the same kernel as the
+    single-chip severe-disease path."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry, calculate_ci_pairwise,
+    )
+
+    H, W, D = 40, 36, 28
+    defect = (rng.random((H, W, D)) > 0.985).astype(np.float32)
+    defect[10:16, 8:14, 10:16] = 1   # a cluster spanning a shard boundary
+    defect[0, 0, 0] = 1
+    geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
+    # K=512 per shard (% 128 == 0) and witness_pad=1024 (% 512 == 0) so
+    # the kernel's tile constraints hold per shard.
+    ci_s, nsat_s, ovf_s = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=4,
+        max_defect_voxels=512, witness_pad=1024, use_pallas=True,
+    )
+    ci_u, nsat_u, _ = calculate_ci_pairwise(jnp.asarray(defect), geom, 2048)
+    assert not bool(ovf_s)
+    assert np.array_equal(np.asarray(ci_s), np.asarray(ci_u))
+    assert int(nsat_s) == int(nsat_u)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs fake devices")
+def test_sharded_ci_tail_overflow_flags_not_silent(rng):
+    """A tail budget too small for a dense cluster sets the overflow flag
+    (saturated values, never silently wrong); an adequate budget restores
+    bit-equality with the unsharded engine."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry, calculate_ci_pairwise,
+    )
+
+    H, W, D = 48, 48, 16
+    defect = np.zeros((H, W, D), np.float32)
+    # One dense ball: its core voxels stay >=50% defect past the 96 head
+    # balls, so they all need tail lanes.
+    ii, jj, kk = np.mgrid[:H, :W, :D]
+    defect[((ii - 24) ** 2 + (jj - 24) ** 2 + ((kk - 8) * 6.7) ** 2) < 150] = 1
+    geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
+    n_def = int(defect.sum())
+    assert 512 < n_def < 2048  # fits every center/witness budget below
+    _, _, ovf_tiny = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=2,
+        max_defect_voxels=4096, tail_k=8,
+    )
+    assert bool(ovf_tiny)
+    ci_ok, _, ovf_ok = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=2,
+        max_defect_voxels=4096, tail_k=4096,
+    )
+    assert not bool(ovf_ok)
+    ci_u, _, ovf_u = calculate_ci_pairwise(
+        jnp.asarray(defect), geom, 4096, tail_k=4096
+    )
+    assert not bool(ovf_u)
+    assert np.array_equal(np.asarray(ci_ok), np.asarray(ci_u))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs fake devices")
+def test_ci_module_severe_disease_exactness_retry():
+    """compat calculate_CI silently saturates nothing: when the default
+    tail budget overflows on a severe-disease volume it retries with the
+    full-width tail, sharded and unsharded alike, and both match the
+    gather-ladder engine (which has no tail to overflow)."""
+    from ventjax.compat import ci_module
+    from ventjax.ops.ci import build_ci_geometry, calculate_ci
+
+    H, W, D = 48, 48, 16
+    defect = np.zeros((H, W, D), np.float64)
+    ii, jj, kk = np.mgrid[:H, :W, :D]
+    defect[((ii - 24) ** 2 + (jj - 24) ** 2 + ((kk - 8) * 6.7) ** 2) < 150] = 1
+    single = ci_module.calculate_CI(defect, vox=VOX, Rmax=16)
+    sharded = ci_module.calculate_CI(
+        defect, vox=VOX, Rmax=16,
+        config=DEFAULT_CONFIG.replace(ci_shard_slices=4),
+    )
+    ladder_geom = build_ci_geometry(VOX, (H, W, D), 16, "wrap")
+    ladder, _, _ = calculate_ci(
+        jnp.asarray(defect.astype(np.float32)), ladder_geom,
+        max_defect_voxels=2048,
+    )
+    assert np.array_equal(sharded, single)
+    np.testing.assert_allclose(single, np.asarray(ladder), atol=1e-6)

@@ -123,15 +123,33 @@ def calculate_CI(
         # actionable message for non-pairwise geometries.
         from ventjax.dist.halo import calculate_ci_sharded
 
-        ci_map, _, _ = calculate_ci_sharded(
+        ci_map, _, ovf = calculate_ci_sharded(
             jnp.asarray(defect.astype(np.float32)), geom,
             n_shards=cfg.ci_shard_slices, max_defect_voxels=k,
         )
+        if bool(ovf):
+            # k >= n_def rules out center/witness overflow here, so the
+            # flag means severe-disease rows outran the default tail
+            # budget (k//8 per shard); retry once with the full-width
+            # tail — this facade promises reference-exact values, not
+            # saturation flags.
+            ci_map, _, _ = calculate_ci_sharded(
+                jnp.asarray(defect.astype(np.float32)), geom,
+                n_shards=cfg.ci_shard_slices, max_defect_voxels=k,
+                tail_k=k,
+            )
         return np.asarray(ci_map, dtype=np.float64)
     if isinstance(geom, CIPairwiseGeometry):
-        ci_map, _, _ = calculate_ci_pairwise(
+        ci_map, _, ovf = calculate_ci_pairwise(
             jnp.asarray(defect.astype(np.float32)), geom, max_defect_voxels=k
         )
+        if bool(ovf):
+            # Same exactness retry as the sharded path above (tail
+            # overflow is the only overflow reachable with k >= n_def).
+            ci_map, _, _ = calculate_ci_pairwise(
+                jnp.asarray(defect.astype(np.float32)), geom,
+                max_defect_voxels=k, tail_k=k,
+            )
     else:
         ci_map, _, _ = _ladder(
             jnp.asarray(defect.astype(np.float32)), geom, max_defect_voxels=k

@@ -25,7 +25,10 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ventjax.ops.ci_pairwise import CIPairwiseGeometry, ci_pairwise_balls
+from ventjax.ops.ci_pairwise import (
+    CIPairwiseGeometry,
+    resolve_balls_two_phase,
+)
 
 
 def halo_width(geom: CIPairwiseGeometry) -> int:
@@ -48,6 +51,9 @@ def make_sliced_ci_fn(
     max_defect_per_shard: int = 2048,
     witness_pad: int = 4096,
     padded_depth: Optional[int] = None,
+    head_balls: int = 96,
+    tail_k: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ):
     """Build a jitted fn: defect [H,W,Dp] (Dp sharded) -> (ci_map, n_saturated,
     overflow) with the same semantics as calculate_ci_pairwise.
@@ -58,6 +64,15 @@ def make_sliced_ci_fn(
     ORIGINAL (H, W, D) volume; pad slices are dead space holding no centers
     and no witnesses, so a zero-padded call is bit-identical to the
     unsharded engine on the unpadded volume.
+
+    Each shard runs the same two-phase engine as the unsharded path
+    (head compare-reduce — the Pallas block-skip kernel on TPU — then a
+    compacted order-statistics tail over ``tail_k`` lanes, default
+    max(256, K//8) per shard), not a full-width sort: centers are the
+    local slab, witnesses the slab + halo.  ``use_pallas=None``
+    auto-selects by backend exactly like ``calculate_ci_pairwise``.
+    Per-shard tail overflow saturates those rows and sets the psum'd
+    overflow flag (never silently wrong).
     """
     H, W, D = geom.shape
     n_shards = mesh.shape[axis_name]
@@ -131,13 +146,17 @@ def make_sliced_ci_fn(
             SENT,
         )
 
-        jballs = ci_pairwise_balls((vi, vj, vk), (wi, wj, wk), geom)
+        jballs, tail_ovf = resolve_balls_two_phase(
+            (vi, vj, vk), (wi, wj, wk), geom,
+            head_balls=head_balls, tail_k=tail_k, use_pallas=use_pallas,
+            valid=cvalid,
+        )
         saturated = (jballs >= M - 1) & cvalid
         cv = jnp.asarray(geom.radii32)[jballs] * geom.min_vox
         ci_flat = jnp.zeros(H * W * dl, jnp.float32)
         scatter_idx = jnp.where(cvalid, cc, H * W * dl)
         ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
-        overflow = (nc > K) | (nw > witness_pad)
+        overflow = (nc > K) | (nw > witness_pad) | tail_ovf
         return (
             ci_flat.reshape(H, W, dl),
             jax.lax.psum(jnp.sum(saturated), axis_name),
@@ -166,6 +185,9 @@ def calculate_ci_sharded(
     n_shards: Optional[int] = None,
     max_defect_voxels: int = 8192,
     witness_pad: Optional[int] = None,
+    head_balls: int = 96,
+    tail_k: Optional[int] = None,
+    use_pallas: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Oversize-volume CI, slice-sharded over devices — the product surface.
 
@@ -205,13 +227,17 @@ def calculate_ci_sharded(
 
     key = (geom.vox, geom.shape, geom.rmax, geom.border_mode,
            tuple(d.id for d in mesh.devices.flat), axis_name,
-           int(max_defect_voxels), wpad, Dp)
+           int(max_defect_voxels), wpad, Dp,
+           int(head_balls), tail_k if tail_k is None else int(tail_k),
+           use_pallas)
     fn = _FN_CACHE.get(key)
     if fn is None:
         fn = make_sliced_ci_fn(
             geom, mesh, axis_name,
             max_defect_per_shard=int(max_defect_voxels),
             witness_pad=wpad, padded_depth=Dp,
+            head_balls=int(head_balls), tail_k=tail_k,
+            use_pallas=use_pallas,
         )
         _FN_CACHE[key] = fn
     padded = defect

@@ -236,6 +236,131 @@ def ci_pairwise_balls(
     ).reshape(-1)[:K]
 
 
+def resolve_balls_two_phase(
+    centers: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    witnesses: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    geom: CIPairwiseGeometry,
+    *,
+    head_balls: int = 96,
+    tail_k: Optional[int] = None,
+    row_chunk: int = 1024,
+    use_pallas: Optional[bool] = None,
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """First-failing-ball index per center via the two-phase engine.
+
+    Bit-equal to ``ci_pairwise_balls(centers, witnesses, geom)`` on valid
+    rows at a fraction of its sort cost: phase A checks the first
+    `head_balls` balls by direct compare-reduce counts (the Pallas VMEM
+    block-skip kernel on TPU, fused XLA blocks elsewhere); rows with no
+    head crossing are compacted to `tail_k` lanes and finished by the full
+    order-statistics sort.  Shared by the unsharded engine
+    (`calculate_ci_pairwise`, where witnesses == centers) and the
+    slice-sharded halo engine (`ventjax.dist.halo`, where witnesses =
+    shard + halo slabs).
+
+    centers/witnesses are sentinel-padded int32 coordinate triples.
+    Sentinel centers sit at zero distance from sentinel WITNESSES (both
+    pads use the same far-away coordinates), so padded rows never cross in
+    the head and land in the tail — harmless for values (they saturate and
+    the caller masks them), but they must not count toward tail overflow:
+    pass ``valid`` (the real-row mask) so overflow counts real rows only.
+    Compaction emits valid rows first, and the stable tail compaction
+    keeps that order, so valid unresolved rows always win tail lanes over
+    padding.
+
+    Returns ``(jballs [K] int32, tail_overflow bool)``; overflowed rows
+    keep the M-1 saturation sentinel (never silently wrong).
+    """
+    ii, jj, kk = centers
+    wi, wj, wk = witnesses
+    K = ii.shape[0]
+    Kw = wi.shape[0]
+    M = geom.n_balls
+
+    if use_pallas is None:
+        # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
+        # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
+        # at small K where kernel launch/tiling overhead dominates.  TPU
+        # only — the Mosaic kernels do not lower on other accelerators
+        # (same gate as n4.py auto_ok).
+        use_pallas = jax.default_backend() == "tpu" and K >= 2048
+    if use_pallas and (K % min(128, K) or Kw % min(512, Kw)):
+        use_pallas = False  # non-tileable pad; the XLA head handles any size
+
+    ns = min(int(head_balls), M - 1)
+    if use_pallas:
+        # The VMEM kernel computes 128 lane-aligned ball slots regardless
+        # of ns, so the extra head coverage is free — and each extra ball
+        # resolved in the head is one fewer row for the (sort-based) tail.
+        ns = min(max(ns, 128), M - 1)
+    r2 = jnp.asarray(geom.r2_32)
+    t_head = jnp.asarray(((geom.rows_ball + 1) // 2)[:ns].astype(np.float32))
+
+    def head_block(vc):
+        dmin2 = _alias_min_d2(vc, (wi, wj, wk), geom)
+        fails = []
+        # 32-cutoff blocks keep each compare-reduce inside XLA's fusion
+        # budget (wider blocks materialize the [rows, nw, cuts] tensor).
+        for a in range(0, ns, 32):
+            b = min(a + 32, ns)
+            counts = jnp.sum(
+                (dmin2[:, :, None] <= r2[a:b][None, None, :]).astype(
+                    jnp.float32),
+                axis=1,
+            )
+            fails.append(counts < t_head[a:b][None, :])
+        fail_head = jnp.concatenate(fails, axis=1)
+        return jnp.any(fail_head, axis=1), jnp.argmax(fail_head, axis=1)
+
+    if use_pallas:
+        from ventjax.ops.ci_pallas import head_counts_pallas
+
+        counts = head_counts_pallas(
+            ii, jj, kk, wi, wj, wk, r2[:ns],
+            combos=tuple(_alias_combos(geom)),
+            scale=geom.scale,
+            ns=ns,
+            rmax=geom.rmax,
+            interpret=jax.default_backend() == "cpu",
+        )
+        fail_head = counts < t_head[None, :]
+        resolved = jnp.any(fail_head, axis=1)
+        j_head = jnp.argmax(fail_head, axis=1).astype(jnp.int32)
+    else:
+        n_chunks = -(-K // row_chunk)
+        kpad = n_chunks * row_chunk
+        pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
+        resolved, j_head = jax.lax.map(
+            head_block,
+            (
+                pad(ii).reshape(n_chunks, row_chunk),
+                pad(jj).reshape(n_chunks, row_chunk),
+                pad(kk).reshape(n_chunks, row_chunk),
+            ),
+        )
+        resolved = resolved.reshape(-1)[:K]
+        j_head = j_head.reshape(-1)[:K].astype(jnp.int32)
+    jballs = jnp.where(resolved, j_head, M - 1)
+
+    # Phase B: compact unresolved rows (stable sort: unresolved first).
+    SENT = jnp.int32(1 << 20)
+    K2 = int(tail_k) if tail_k is not None else max(256, K // 8)
+    K2 = min(K2, K)
+    sel = jnp.argsort(resolved, stable=True)[:K2]
+    live = ~resolved[sel]
+    tail_coords = tuple(
+        jnp.where(live, c[sel], SENT) for c in (ii, jj, kk)
+    )
+    j_tail = ci_pairwise_balls(
+        tail_coords, (wi, wj, wk), geom, row_chunk=min(K2, 512)
+    )
+    jballs = jballs.at[sel].set(jnp.where(live, j_tail, jballs[sel]))
+    unresolved = ~resolved if valid is None else (~resolved & valid)
+    tail_overflow = jnp.sum(unresolved) > K2
+    return jballs, tail_overflow
+
+
 def calculate_ci_pairwise(
     defect: jnp.ndarray,
     geom: CIPairwiseGeometry,
@@ -276,84 +401,11 @@ def calculate_ci_pairwise(
     jj = jnp.where(valid, ((cidx // D) % W).astype(jnp.int32), -SENT)
     kk = jnp.where(valid, (cidx % D).astype(jnp.int32), SENT)
 
-    if use_pallas is None:
-        # Measured crossover on v5e (docs/PERF.md): the VMEM kernel wins at
-        # heavy defect loads (K >= 2048: 1.35x at K=4096); the XLA head wins
-        # at small K where kernel launch/tiling overhead dominates.  TPU
-        # only — the Mosaic kernels do not lower on other accelerators
-        # (same gate as n4.py auto_ok).
-        use_pallas = jax.default_backend() == "tpu" and K >= 2048
-    if use_pallas and (K % min(128, K) or K % min(512, K)):
-        use_pallas = False  # non-tileable pad; the XLA head handles any K
-
-    ns = min(int(head_balls), M - 1)
-    if use_pallas:
-        # The VMEM kernel computes 128 lane-aligned ball slots regardless
-        # of ns, so the extra head coverage is free — and each extra ball
-        # resolved in the head is one fewer row for the (sort-based) tail.
-        ns = min(max(ns, 128), M - 1)
-    r2 = jnp.asarray(geom.r2_32)
-    t_head = jnp.asarray(((geom.rows_ball + 1) // 2)[:ns].astype(np.float32))
-
-    def head_block(vc):
-        dmin2 = _alias_min_d2(vc, (ii, jj, kk), geom)
-        fails = []
-        # 32-cutoff blocks keep each compare-reduce inside XLA's fusion
-        # budget (wider blocks materialize the [rows, nw, cuts] tensor).
-        for a in range(0, ns, 32):
-            b = min(a + 32, ns)
-            counts = jnp.sum(
-                (dmin2[:, :, None] <= r2[a:b][None, None, :]).astype(
-                    jnp.float32),
-                axis=1,
-            )
-            fails.append(counts < t_head[a:b][None, :])
-        fail_head = jnp.concatenate(fails, axis=1)
-        return jnp.any(fail_head, axis=1), jnp.argmax(fail_head, axis=1)
-
-    if use_pallas:
-        from ventjax.ops.ci_pallas import head_counts_pallas
-
-        counts = head_counts_pallas(
-            ii, jj, kk, ii, jj, kk, r2[:ns],
-            combos=tuple(_alias_combos(geom)),
-            scale=geom.scale,
-            ns=ns,
-            rmax=geom.rmax,
-            interpret=jax.default_backend() == "cpu",
-        )
-        fail_head = counts < t_head[None, :]
-        resolved = jnp.any(fail_head, axis=1)
-        j_head = jnp.argmax(fail_head, axis=1).astype(jnp.int32)
-    else:
-        n_chunks = -(-K // row_chunk)
-        kpad = n_chunks * row_chunk
-        pad = lambda x: jnp.full((kpad,), 1 << 20, x.dtype).at[:K].set(x)
-        resolved, j_head = jax.lax.map(
-            head_block,
-            (
-                pad(ii).reshape(n_chunks, row_chunk),
-                pad(jj).reshape(n_chunks, row_chunk),
-                pad(kk).reshape(n_chunks, row_chunk),
-            ),
-        )
-        resolved = resolved.reshape(-1)[:K]
-        j_head = j_head.reshape(-1)[:K].astype(jnp.int32)
-    jballs = jnp.where(resolved, j_head, M - 1)
-
-    # Phase B: compact unresolved rows (stable sort: unresolved first).
-    K2 = int(tail_k) if tail_k is not None else max(256, K // 8)
-    K2 = min(K2, K)
-    sel = jnp.argsort(resolved, stable=True)[:K2]
-    live = ~resolved[sel]
-    tail_coords = tuple(
-        jnp.where(live, c[sel], SENT) for c in (ii, jj, kk)
+    jballs, tail_overflow = resolve_balls_two_phase(
+        (ii, jj, kk), (ii, jj, kk), geom,
+        head_balls=head_balls, tail_k=tail_k,
+        row_chunk=row_chunk, use_pallas=use_pallas, valid=valid,
     )
-    j_tail = ci_pairwise_balls(
-        tail_coords, (ii, jj, kk), geom, row_chunk=min(K2, 512)
-    )
-    jballs = jballs.at[sel].set(jnp.where(live, j_tail, jballs[sel]))
-    tail_overflow = jnp.sum(~resolved & valid) > K2
 
     saturated = (jballs >= M - 1) & valid
     cv = jnp.asarray(geom.radii32)[jballs] * geom.min_vox
