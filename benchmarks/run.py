@@ -21,6 +21,11 @@ Configs (BASELINE.json "configs"):
      single-chip runner the mesh has 1 device and the number reported is
      per-chip — the sharding path itself is validated on a fake 8-device
      CPU mesh by tests/test_dist.py and __graft_entry__.dryrun_multichip)
+  6. severe-disease worst case: clustered ~3.5k-voxel defect loads at
+     pad 4096 (the Pallas block-skip head regime) — tracked headline
+  7. oversize-volume CI: 256x256x64 through the slice-sharded halo
+     program (ventjax.dist.halo) AND the unsharded engine, bit-equality
+     asserted on chip
 
 Usage:
   python benchmarks/run.py                 # all configs, one JSON line each
@@ -255,6 +260,53 @@ def bench_config(
         probe = lambda r: r
         label = (f"ci_map_severe_disease (defect ~{n_def}, pad {K}, "
                  f"target >=100)")
+    elif n == 7:
+        # Oversize-volume CI (VERDICT r3 item 3's bench row): 256x256x64 —
+        # 64x the voxel count of the standard geometry, the regime
+        # `analyze --shard-slices` exists for.  Times BOTH product paths
+        # on the visible devices: the unsharded single-chip engine and the
+        # slice-sharded halo program (n_shards = all visible devices,
+        # capped by the 8-slice halo; 1 on this runner, where the row
+        # quantifies the halo program's overhead vs unsharded — multi-
+        # shard bit-equality and scaling are validated on the fake
+        # 8-device mesh by tests/test_dist.py and the dryrun).  The two
+        # warmup results are asserted bit-equal on the real chip.
+        import jax
+
+        from ventjax.dist.halo import calculate_ci_sharded, halo_width
+        from ventjax.ops.ci_pairwise import (
+            build_ci_pairwise_geometry,
+            calculate_ci_pairwise,
+        )
+
+        oshape = (256, 256, 64)
+        defect = jnp.asarray(make_severe_defects(1, oshape, vox)[0])
+        n_def = int(np.asarray(defect).sum())
+        K = 4096
+        assert n_def <= K, n_def
+        geom = build_ci_pairwise_geometry(vox, oshape, 50, "wrap")
+        n_shards = min(len(jax.devices()), oshape[2] // halo_width(geom))
+
+        fn_u = jax.jit(lambda d: calculate_ci_pairwise(d, geom, K))
+        fn_s = lambda d: calculate_ci_sharded(
+            d, geom, n_shards=n_shards, max_defect_voxels=K
+        )
+        ci_u, _, ovf_u = fn_u(defect)
+        ci_s, _, ovf_s = fn_s(defect)
+        assert not bool(np.asarray(ovf_u)) and not bool(np.asarray(ovf_s)), \
+            "oversize bench overflowed its pads — not a valid measurement"
+        assert np.array_equal(np.asarray(ci_u), np.asarray(ci_s)), \
+            "halo program != unsharded engine on chip"
+        vols_u = _throughput(fn_u, (defect,), 1, iters, lambda r: r[0])
+        vols_s = _throughput(fn_s, (defect,), 1, iters, lambda r: r[0])
+        return {
+            "config": 7,
+            "label": (f"ci_map_oversize_256x256x64 (defect ~{n_def}, pad "
+                      f"{K}, halo x{n_shards} shard(s); unsharded "
+                      f"{round(vols_u, 1)} vol/s)"),
+            "volumes_per_sec_per_chip": round(vols_s / max(n_shards, 1), 3),
+            "batch": 1,
+        }
     else:
         raise ValueError(n)
 
@@ -270,7 +322,7 @@ def bench_config(
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--configs", type=int, nargs="*",
-                   default=[1, 2, 3, 4, 5, 6])
+                   default=[1, 2, 3, 4, 5, 6, 7])
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--cpu", action="store_true")

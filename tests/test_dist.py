@@ -164,11 +164,12 @@ def test_sharded_ci_two_phase_pallas_head_bit_equal(rng):
     defect[10:16, 8:14, 10:16] = 1   # a cluster spanning a shard boundary
     defect[0, 0, 0] = 1
     geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
-    # K=512 per shard (% 128 == 0) and witness_pad=1024 (% 512 == 0) so
-    # the kernel's tile constraints hold per shard.
+    # K=512 centers per shard (% 128 == 0) and halo_pad=256/side ->
+    # 1024 witness lanes (% 512 == 0), so the kernel's tile constraints
+    # hold per shard.
     ci_s, nsat_s, ovf_s = calculate_ci_sharded(
         jnp.asarray(defect), geom, n_shards=4,
-        max_defect_voxels=512, witness_pad=1024, use_pallas=True,
+        max_defect_voxels=512, halo_pad=256, use_pallas=True,
     )
     ci_u, nsat_u, _ = calculate_ci_pairwise(jnp.asarray(defect), geom, 2048)
     assert not bool(ovf_s)
@@ -237,3 +238,34 @@ def test_ci_module_severe_disease_exactness_retry():
     )
     assert np.array_equal(sharded, single)
     np.testing.assert_allclose(single, np.asarray(ladder), atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs fake devices")
+def test_sharded_ci_halo_buffer_overflow_flags(rng):
+    """Boundary defects beyond the sparse-exchange halo_pad buffer are
+    never silently dropped: the overflow flag fires; an adequate buffer
+    restores bit-equality with the unsharded engine."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry, calculate_ci_pairwise,
+    )
+
+    H, W, D = 40, 36, 16
+    defect = np.zeros((H, W, D), np.float32)
+    defect[4:20, 4:20, 7:9] = 1   # 512 voxels straddling the 2-shard cut
+    geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
+    _, _, ovf_tiny = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=2,
+        max_defect_voxels=1024, halo_pad=16,
+    )
+    assert bool(ovf_tiny)
+    ci_ok, _, ovf_ok = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=2,
+        max_defect_voxels=1024, halo_pad=512, tail_k=1024,
+    )
+    assert not bool(ovf_ok)
+    ci_u, _, ovf_u = calculate_ci_pairwise(
+        jnp.asarray(defect), geom, 1024, tail_k=1024
+    )
+    assert not bool(ovf_u)
+    assert np.array_equal(np.asarray(ci_ok), np.asarray(ci_u))

@@ -79,7 +79,7 @@ def test_halo_sliced_ci_matches_unsharded(rng):
     geom = build_ci_pairwise_geometry((1.5, 1.5, 10.0), (H, W, D), 50, "wrap")
     mesh = Mesh(np.asarray(jax.devices()[:4]), ("space",))
     fn = make_sliced_ci_fn(geom, mesh, max_defect_per_shard=1024,
-                           witness_pad=2048)
+                           halo_pad=512)
     ci_s, nsat_s, ovf_s = fn(jnp.asarray(defect))
     ci_u, nsat_u, _ = calculate_ci_pairwise(jnp.asarray(defect), geom, 2048)
     assert not bool(ovf_s)

@@ -3,12 +3,14 @@ sequence parallelism (SURVEY.md §5 long-context).
 
 For volumes whose slice axis is sharded over a mesh axis, each device
 computes CI for the defect voxels of its local slab.  The pairwise engine
-only needs *witness* defect voxels within the sphere reach, so each device
-ppermutes boundary slabs of width ceil(r_last/scale_z)+1 with its neighbors
-(one slab of slack covers the wrap-alias candidates, which shift dk by at
-most 1) and runs the exact engine on (local centers, local+halo witnesses).
-Results are bit-identical to the unsharded engine (tests/test_dist.py,
-tests/test_models.py).
+only needs *witness* defect voxels within the sphere reach — a reach of
+ceil(r_last/scale_z)+1 slices (one slab of slack covers the wrap-alias
+candidates, which shift dk by at most 1) — so each device compacts its
+slab's defect coordinates once and ppermutes fixed-size boundary
+COORDINATE buffers with its neighbors (sparse halo: ~3*halo_pad ints vs
+a dense H*W*hz slab), then runs the exact two-phase engine on (local
+centers, local+halo witnesses).  Results are bit-identical to the
+unsharded engine (tests/test_dist.py, tests/test_models.py).
 
 Product surface: ``calculate_ci_sharded`` pads the slice axis to the mesh,
 builds/caches the jitted program, and returns the same (ci_map, n_saturated,
@@ -49,7 +51,7 @@ def make_sliced_ci_fn(
     mesh: Mesh,
     axis_name: str = "space",
     max_defect_per_shard: int = 2048,
-    witness_pad: int = 4096,
+    halo_pad: Optional[int] = None,
     padded_depth: Optional[int] = None,
     head_balls: int = 96,
     tail_k: Optional[int] = None,
@@ -65,14 +67,27 @@ def make_sliced_ci_fn(
     and no witnesses, so a zero-padded call is bit-identical to the
     unsharded engine on the unpadded volume.
 
-    Each shard runs the same two-phase engine as the unsharded path
+    The halo exchange is SPARSE: each shard compacts its local slab once
+    (defect coordinates, [K] lanes), selects the boundary defects within
+    the hz-slice halo reach from that compacted list, and ppermutes
+    fixed-size ``halo_pad``-lane coordinate buffers (+1-encoded so the
+    zeros edge devices receive decode as empty) instead of dense boundary
+    slabs.  That makes the per-shard compaction cost scale with V/n_shards
+    and shrinks the ICI payload from H*W*hz floats to 3*halo_pad ints
+    (~50x for 256x256 slabs); the dense-slab design measured 2.3x slower
+    than the unsharded engine at one shard from its two full slab+halo
+    compactions (benchmarks config 7).
+
+    Each shard then runs the same two-phase engine as the unsharded path
     (head compare-reduce — the Pallas block-skip kernel on TPU — then a
     compacted order-statistics tail over ``tail_k`` lanes, default
-    max(256, K//8) per shard), not a full-width sort: centers are the
-    local slab, witnesses the slab + halo.  ``use_pallas=None``
-    auto-selects by backend exactly like ``calculate_ci_pairwise``.
-    Per-shard tail overflow saturates those rows and sets the psum'd
-    overflow flag (never silently wrong).
+    max(256, K//8) per shard): centers are the local slab, witnesses the
+    local compaction + both received halo buffers (K + 2*halo_pad lanes;
+    ``halo_pad`` defaults to K//2, keeping the kernel-tileable 2K total).
+    ``use_pallas=None`` auto-selects by backend exactly like
+    ``calculate_ci_pairwise``.  Per-shard center/halo/tail overflow
+    saturates those rows and sets the psum'd overflow flag (never
+    silently wrong).
     """
     H, W, D = geom.shape
     n_shards = mesh.shape[axis_name]
@@ -100,51 +115,57 @@ def make_sliced_ci_fn(
         )
     M = geom.n_balls
     K = max_defect_per_shard
+    HP = K // 2 if halo_pad is None else int(halo_pad)
     SENT = jnp.int32(1 << 20)
+
+    from ventjax.ops.basic import compact_mask_indices
 
     def body(defect_local):
         idx = jax.lax.axis_index(axis_name)
         n = jax.lax.axis_size(axis_name)
-        d01 = (defect_local != 0).astype(jnp.float32)
+        d01 = defect_local != 0
 
-        # halo below comes from the left neighbor's top slabs, halo above
-        # from the right neighbor's bottom slabs; edge devices receive zeros.
-        lo_halo = jax.lax.ppermute(
-            d01[:, :, -hz:], axis_name,
-            [(i, i + 1) for i in range(n - 1)],
-        )
-        hi_halo = jax.lax.ppermute(
-            d01[:, :, :hz], axis_name,
-            [(i + 1, i) for i in range(n - 1)],
-        )
-        ext = jnp.concatenate([lo_halo, d01, hi_halo], axis=2)
-
-        # witnesses: all defect voxels in slab+halo, global coordinates.
-        wflat = ext.reshape(-1) != 0
-        nw = jnp.sum(wflat)
-        (wc,) = jnp.nonzero(wflat, size=witness_pad, fill_value=0)
-        wvalid = jnp.arange(witness_pad) < nw
-        dl_ext = dl + 2 * hz
-        wi = jnp.where(wvalid, (wc // (W * dl_ext)).astype(jnp.int32), SENT)
-        wj = jnp.where(wvalid, ((wc // dl_ext) % W).astype(jnp.int32), -SENT)
-        wk = jnp.where(
-            wvalid,
-            (wc % dl_ext).astype(jnp.int32) - hz + idx.astype(jnp.int32) * dl,
-            SENT,
-        )
-
-        # centers: local-slab defect voxels.
-        cflat = d01.reshape(-1) != 0
-        nc = jnp.sum(cflat)
-        (cc,) = jnp.nonzero(cflat, size=K, fill_value=0)
+        # centers: ONE compaction over the local slab ([H*W*dl] lanes).
+        cidx, nc = compact_mask_indices(d01.reshape(-1), K)
         cvalid = jnp.arange(K) < nc
-        vi = jnp.where(cvalid, (cc // (W * dl)).astype(jnp.int32), SENT)
-        vj = jnp.where(cvalid, ((cc // dl) % W).astype(jnp.int32), -SENT)
-        vk = jnp.where(
-            cvalid,
-            (cc % dl).astype(jnp.int32) + idx.astype(jnp.int32) * dl,
-            SENT,
-        )
+        vi = jnp.where(cvalid, (cidx // (W * dl)).astype(jnp.int32), SENT)
+        vj = jnp.where(cvalid, ((cidx // dl) % W).astype(jnp.int32), -SENT)
+        vkl = (cidx % dl).astype(jnp.int32)           # local slice index
+        vk = jnp.where(cvalid, vkl + idx.astype(jnp.int32) * dl, SENT)
+
+        # boundary defects as fixed [3, HP] coordinate buffers, selected
+        # from the compacted lanes (cheap [K]-lane ops).  +1 encoding:
+        # edge devices receive zeros from ppermute, which must decode as
+        # "no witnesses", not as voxel (0, 0, 0).
+        def pack(sel):
+            (lane,) = jnp.nonzero(sel, size=HP, fill_value=K)
+            ok = lane < K
+            lc = jnp.minimum(lane, K - 1)
+            return jnp.stack([
+                jnp.where(ok, vi[lc] + 1, 0),
+                jnp.where(ok, vj[lc] + 1, 0),
+                jnp.where(ok, vk[lc] + 1, 0),
+            ]), jnp.sum(sel)
+
+        def unpack(msg):
+            ok = msg[0] > 0
+            return (jnp.where(ok, msg[0] - 1, SENT),
+                    jnp.where(ok, msg[1] - 1, -SENT),
+                    jnp.where(ok, msg[2] - 1, SENT))
+
+        # halo below comes from the left neighbor's TOP boundary defects,
+        # halo above from the right neighbor's BOTTOM boundary defects.
+        top_msg, n_top = pack(cvalid & (vkl >= dl - hz))
+        bot_msg, n_bot = pack(cvalid & (vkl < hz))
+        lo = unpack(jax.lax.ppermute(
+            top_msg, axis_name, [(i, i + 1) for i in range(n - 1)]))
+        hi = unpack(jax.lax.ppermute(
+            bot_msg, axis_name, [(i + 1, i) for i in range(n - 1)]))
+
+        # witnesses: local compaction + both halos, global coordinates.
+        wi = jnp.concatenate([vi, lo[0], hi[0]])
+        wj = jnp.concatenate([vj, lo[1], hi[1]])
+        wk = jnp.concatenate([vk, lo[2], hi[2]])
 
         jballs, tail_ovf = resolve_balls_two_phase(
             (vi, vj, vk), (wi, wj, wk), geom,
@@ -154,9 +175,9 @@ def make_sliced_ci_fn(
         saturated = (jballs >= M - 1) & cvalid
         cv = jnp.asarray(geom.radii32)[jballs] * geom.min_vox
         ci_flat = jnp.zeros(H * W * dl, jnp.float32)
-        scatter_idx = jnp.where(cvalid, cc, H * W * dl)
+        scatter_idx = jnp.where(cvalid, cidx, H * W * dl)
         ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
-        overflow = (nc > K) | (nw > witness_pad) | tail_ovf
+        overflow = (nc > K) | (n_top > HP) | (n_bot > HP) | tail_ovf
         return (
             ci_flat.reshape(H, W, dl),
             jax.lax.psum(jnp.sum(saturated), axis_name),
@@ -184,7 +205,7 @@ def calculate_ci_sharded(
     axis_name: str = "space",
     n_shards: Optional[int] = None,
     max_defect_voxels: int = 8192,
-    witness_pad: Optional[int] = None,
+    halo_pad: Optional[int] = None,
     head_balls: int = 96,
     tail_k: Optional[int] = None,
     use_pallas: Optional[bool] = None,
@@ -195,8 +216,8 @@ def calculate_ci_sharded(
     (ci_map, n_saturated, overflow) triple); the volume's slice axis is
     zero-padded to the mesh automatically.  ``max_defect_voxels`` is the
     per-shard center budget (a safe upper bound is the whole-volume defect
-    count); witnesses per shard are bounded by the whole-volume count, so
-    ``witness_pad`` defaults to ``max_defect_voxels``.
+    count); ``halo_pad`` is the per-side boundary coordinate-buffer size
+    (default K//2 — see ``make_sliced_ci_fn``).
 
     Raises ValueError with an actionable message when the geometry cannot
     shard (non-pairwise geometry, or more shards than the halo allows).
@@ -223,11 +244,11 @@ def calculate_ci_sharded(
         mesh = Mesh(np.asarray(devices[:n]), (axis_name,))
     n = mesh.shape[axis_name]
     Dp = padded_depth_for(D, n)
-    wpad = int(witness_pad) if witness_pad is not None else int(max_defect_voxels)
+    hpad = int(halo_pad) if halo_pad is not None else int(max_defect_voxels) // 2
 
     key = (geom.vox, geom.shape, geom.rmax, geom.border_mode,
            tuple(d.id for d in mesh.devices.flat), axis_name,
-           int(max_defect_voxels), wpad, Dp,
+           int(max_defect_voxels), hpad, Dp,
            int(head_balls), tail_k if tail_k is None else int(tail_k),
            use_pallas)
     fn = _FN_CACHE.get(key)
@@ -235,7 +256,7 @@ def calculate_ci_sharded(
         fn = make_sliced_ci_fn(
             geom, mesh, axis_name,
             max_defect_per_shard=int(max_defect_voxels),
-            witness_pad=wpad, padded_depth=Dp,
+            halo_pad=hpad, padded_depth=Dp,
             head_balls=int(head_balls), tail_k=tail_k,
             use_pallas=use_pallas,
         )
