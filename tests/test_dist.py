@@ -269,3 +269,52 @@ def test_sharded_ci_halo_buffer_overflow_flags(rng):
     )
     assert not bool(ovf_u)
     assert np.array_equal(np.asarray(ci_ok), np.asarray(ci_u))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs fake devices")
+def test_sharded_ci_edge_face_clusters_do_not_flag(rng):
+    """Boundary buffers nobody receives must not flag: the last shard's
+    top buffer and shard 0's bottom buffer have no ppermute destination,
+    so defects clustered on the volume's global z-faces — however many —
+    are not an overflow, and results stay bit-equal."""
+    from ventjax.dist import calculate_ci_sharded
+    from ventjax.ops.ci_pairwise import (
+        build_ci_pairwise_geometry, calculate_ci_pairwise,
+    )
+
+    H, W, D = 40, 36, 16
+    defect = np.zeros((H, W, D), np.float32)
+    defect[4:24, 4:24, 0:2] = 1     # 800 voxels on the global bottom face
+    defect[10:26, 10:26, 14:16] = 1  # 512 voxels on the global top face
+    geom = build_ci_pairwise_geometry(VOX, (H, W, D), 16, "wrap")
+    # halo_pad=64 << either face cluster; hz=3 so the bands sit inside the
+    # unsent buffers (bottom of shard 0, top of shard 1) only.
+    ci_s, _, ovf = calculate_ci_sharded(
+        jnp.asarray(defect), geom, n_shards=2,
+        max_defect_voxels=2048, halo_pad=64, tail_k=2048,
+    )
+    assert not bool(ovf)
+    ci_u, _, _ = calculate_ci_pairwise(
+        jnp.asarray(defect), geom, 2048, tail_k=2048
+    )
+    assert np.array_equal(np.asarray(ci_s), np.asarray(ci_u))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs fake devices")
+def test_ci_module_sharded_halo_overflow_retry(rng):
+    """compat calculate_CI's exactness retry must also grow the halo
+    buffer: a defect band hugging the shard cut overflows the default
+    halo_pad (k//2), and the sharded facade result must still equal the
+    single-device facade result bit for bit."""
+    from ventjax.compat import ci_module
+
+    H, W, D = 40, 36, 16
+    defect = np.zeros((H, W, D), np.float64)
+    # dl=8, hz=3 at Rmax 16: k in {5,6,7} is shard 0's SENT top band.
+    defect[2:34, 2:22, 5:8] = 1   # 1920 voxels; bucket k=2048, HP=1024
+    single = ci_module.calculate_CI(defect, vox=VOX, Rmax=16)
+    sharded = ci_module.calculate_CI(
+        defect, vox=VOX, Rmax=16,
+        config=DEFAULT_CONFIG.replace(ci_shard_slices=2),
+    )
+    assert np.array_equal(sharded, single)

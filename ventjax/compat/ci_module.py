@@ -128,16 +128,22 @@ def calculate_CI(
             n_shards=cfg.ci_shard_slices, max_defect_voxels=k,
         )
         if bool(ovf):
-            # k >= n_def rules out center/witness overflow here, so the
-            # flag means severe-disease rows outran the default tail
-            # budget (k//8 per shard); retry once with the full-width
-            # tail — this facade promises reference-exact values, not
-            # saturation flags.
-            ci_map, _, _ = calculate_ci_sharded(
+            # k >= n_def rules out center overflow, so the flag means the
+            # default per-shard tail budget (k//8) or halo coordinate
+            # buffer (k//2 per side) overflowed; retry once with both at
+            # full width — with tail_k = halo_pad = k >= n_def no overflow
+            # cause remains, and this facade promises reference-exact
+            # values, not saturation flags.
+            ci_map, _, ovf2 = calculate_ci_sharded(
                 jnp.asarray(defect.astype(np.float32)), geom,
                 n_shards=cfg.ci_shard_slices, max_defect_voxels=k,
-                tail_k=k,
+                tail_k=k, halo_pad=k,
             )
+            if bool(ovf2):  # unreachable by construction; never go silent
+                raise RuntimeError(
+                    "sharded CI still overflowed at full-width budgets — "
+                    "please report this geometry"
+                )
         return np.asarray(ci_map, dtype=np.float64)
     if isinstance(geom, CIPairwiseGeometry):
         ci_map, _, ovf = calculate_ci_pairwise(

@@ -133,39 +133,51 @@ def make_sliced_ci_fn(
         vkl = (cidx % dl).astype(jnp.int32)           # local slice index
         vk = jnp.where(cvalid, vkl + idx.astype(jnp.int32) * dl, SENT)
 
-        # boundary defects as fixed [3, HP] coordinate buffers, selected
-        # from the compacted lanes (cheap [K]-lane ops).  +1 encoding:
-        # edge devices receive zeros from ppermute, which must decode as
-        # "no witnesses", not as voxel (0, 0, 0).
-        def pack(sel):
-            (lane,) = jnp.nonzero(sel, size=HP, fill_value=K)
-            ok = lane < K
-            lc = jnp.minimum(lane, K - 1)
-            return jnp.stack([
-                jnp.where(ok, vi[lc] + 1, 0),
-                jnp.where(ok, vj[lc] + 1, 0),
-                jnp.where(ok, vk[lc] + 1, 0),
-            ]), jnp.sum(sel)
+        if n_shards == 1:
+            # Degenerate mesh: no neighbors, the slab is the volume.  Skip
+            # the pack/ppermute/concat entirely so the engine scans K
+            # witness lanes, not K + 2*HP of guaranteed-empty halo.
+            wi, wj, wk = vi, vj, vk
+            halo_ovf = jnp.bool_(False)
+        else:
+            # boundary defects as fixed [3, HP] coordinate buffers,
+            # selected from the compacted lanes (cheap [K]-lane ops).
+            # +1 encoding: edge devices receive zeros from ppermute, which
+            # must decode as "no witnesses", not as voxel (0, 0, 0).
+            def pack(sel):
+                (lane,) = jnp.nonzero(sel, size=HP, fill_value=K)
+                ok = lane < K
+                lc = jnp.minimum(lane, K - 1)
+                return jnp.stack([
+                    jnp.where(ok, vi[lc] + 1, 0),
+                    jnp.where(ok, vj[lc] + 1, 0),
+                    jnp.where(ok, vk[lc] + 1, 0),
+                ]), jnp.sum(sel)
 
-        def unpack(msg):
-            ok = msg[0] > 0
-            return (jnp.where(ok, msg[0] - 1, SENT),
-                    jnp.where(ok, msg[1] - 1, -SENT),
-                    jnp.where(ok, msg[2] - 1, SENT))
+            def unpack(msg):
+                ok = msg[0] > 0
+                return (jnp.where(ok, msg[0] - 1, SENT),
+                        jnp.where(ok, msg[1] - 1, -SENT),
+                        jnp.where(ok, msg[2] - 1, SENT))
 
-        # halo below comes from the left neighbor's TOP boundary defects,
-        # halo above from the right neighbor's BOTTOM boundary defects.
-        top_msg, n_top = pack(cvalid & (vkl >= dl - hz))
-        bot_msg, n_bot = pack(cvalid & (vkl < hz))
-        lo = unpack(jax.lax.ppermute(
-            top_msg, axis_name, [(i, i + 1) for i in range(n - 1)]))
-        hi = unpack(jax.lax.ppermute(
-            bot_msg, axis_name, [(i + 1, i) for i in range(n - 1)]))
+            # halo below comes from the left neighbor's TOP boundary
+            # defects, halo above from the right neighbor's BOTTOM ones.
+            top_msg, n_top = pack(cvalid & (vkl >= dl - hz))
+            bot_msg, n_bot = pack(cvalid & (vkl < hz))
+            lo = unpack(jax.lax.ppermute(
+                top_msg, axis_name, [(i, i + 1) for i in range(n - 1)]))
+            hi = unpack(jax.lax.ppermute(
+                bot_msg, axis_name, [(i + 1, i) for i in range(n - 1)]))
 
-        # witnesses: local compaction + both halos, global coordinates.
-        wi = jnp.concatenate([vi, lo[0], hi[0]])
-        wj = jnp.concatenate([vj, lo[1], hi[1]])
-        wk = jnp.concatenate([vk, lo[2], hi[2]])
+            # witnesses: local compaction + both halos, global coordinates.
+            wi = jnp.concatenate([vi, lo[0], hi[0]])
+            wj = jnp.concatenate([vj, lo[1], hi[1]])
+            wk = jnp.concatenate([vk, lo[2], hi[2]])
+            # A truncated buffer only loses witnesses someone RECEIVES:
+            # the last shard's top buffer and shard 0's bottom buffer have
+            # no ppermute destination, so their counts must not flag.
+            halo_ovf = (((n_top > HP) & (idx < n - 1))
+                        | ((n_bot > HP) & (idx > 0)))
 
         jballs, tail_ovf = resolve_balls_two_phase(
             (vi, vj, vk), (wi, wj, wk), geom,
@@ -177,7 +189,7 @@ def make_sliced_ci_fn(
         ci_flat = jnp.zeros(H * W * dl, jnp.float32)
         scatter_idx = jnp.where(cvalid, cidx, H * W * dl)
         ci_flat = ci_flat.at[scatter_idx].set(cv, mode="drop")
-        overflow = (nc > K) | (n_top > HP) | (n_bot > HP) | tail_ovf
+        overflow = (nc > K) | halo_ovf | tail_ovf
         return (
             ci_flat.reshape(H, W, dl),
             jax.lax.psum(jnp.sum(saturated), axis_name),
