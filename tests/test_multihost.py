@@ -393,3 +393,39 @@ def test_four_process_shard_export_writer_crash(tmp_path):
         if s in mtimes:  # exactly-once: pre-crash durable lanes untouched
             assert os.stat(os.path.join(
                 sdir, "metrics.json")).st_mtime_ns == mtimes[s], s
+
+
+def test_two_process_halo_ci():
+    """Slice-sharded CI across a REAL process boundary: the sparse halo
+    ppermute of defect-coordinate buffers rides the distributed CPU
+    collective backend between 2 OS processes (2 devices each), and every
+    process's local CI slab bit-matches the unsharded engine."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_halo_worker.py")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert "MULTIHOST_HALO_OK" in out, out
+    # both processes agree on the replicated psum'd saturation count
+    nsats = {next(l for l in o.splitlines() if "MULTIHOST_HALO_OK" in l)
+             .split("nsat=")[1].split()[0] for o in outs}
+    assert len(nsats) == 1, nsats
