@@ -38,10 +38,17 @@ def crop_to_data(a: np.ndarray, border: int = 0, border_slices: bool = False):
     """Crop rows/cols/slices to the nonzero extent (Vent_Analysis.py:430-456).
 
     Returns (cropped, rows_idx, cols_idx, slices_idx) like the reference.
+
+    QUIRK preserved (pinned by tests/test_reference_source.py): the reference
+    builds each index list as ``np.multiply(has_signal, range(n))`` and then
+    filters on truthiness (Vent_Analysis.py:433-440), so index 0 is ``0 * True
+    == 0`` -> falsy and can NEVER appear — data touching row/col/slice 0 is
+    cropped away, and a mask living ONLY at index 0 on some axis raises
+    IndexError exactly like the reference does.
     """
-    slices = [k for k in range(a.shape[2]) if a[:, :, k].sum() > 0]
-    rows = [r for r in range(a.shape[0]) if a[r, :, :].sum() > 0]
-    cols = [c for c in range(a.shape[1]) if a[:, c, :].sum() > 0]
+    slices = [k for k in range(1, a.shape[2]) if a[:, :, k].sum() > 0]
+    rows = [r for r in range(1, a.shape[0]) if a[r, :, :].sum() > 0]
+    cols = [c for c in range(1, a.shape[1]) if a[:, c, :].sum() > 0]
     if border_slices:
         s0, s1 = max(slices[0] - border, 0), min(slices[-1] + border + 1, a.shape[2])
     else:
@@ -180,13 +187,23 @@ def build_4d_array(
 ) -> np.ndarray:
     """6-channel export array in the reference's fixed channel order
     [proton, HPvent, mask, N4HPvent, defectArray, CIarray]
-    (Vent_Analysis.py:292-313); missing channels stay zero."""
+    (Vent_Analysis.py:292-313); missing channels stay zero.
+
+    Like the reference, each optional channel is a guarded ASSIGNMENT
+    (try/except, Vent_Analysis.py:296-312): an array that numpy can
+    broadcast into [H,W,D] fills the channel even when its shape differs
+    (e.g. a (H,W,1) proton), and only a failing assignment leaves zeros.
+    Pinned by tests/test_reference_source.py."""
     out = np.zeros((hp.shape[0], hp.shape[1], hp.shape[2], 6), dtype=np.float32)
     out[:, :, :, 1] = hp
     out[:, :, :, 2] = mask
     for idx, arr in ((0, proton), (3, n4), (4, defect), (5, ci)):
-        if arr is not None and np.shape(arr) == hp.shape:
+        if arr is None:
+            continue
+        try:
             out[:, :, :, idx] = arr
+        except (ValueError, TypeError):
+            pass
     return out
 
 
