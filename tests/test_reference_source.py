@@ -81,11 +81,14 @@ def ref_methods():
     )
     wanted = {
         "calculate_VDP", "calculate_SNR", "calculateBorder", "normalize",
-        "cropToData", "build4DdataArray", "calculate_CI",
+        "cropToData", "build4DdataArray", "calculate_CI", "pickleMe",
     }
+    import pickle
+
     from scipy.signal import medfilt2d
 
-    ns = {"np": np, "medfilt2d": medfilt2d, "print": lambda *a, **k: None}
+    ns = {"np": np, "medfilt2d": medfilt2d, "pickle": pickle,
+          "print": lambda *a, **k: None}
     found = set()
     for node in cls.body:
         if isinstance(node, ast.FunctionDef) and node.name in wanted:
@@ -446,3 +449,38 @@ def test_extract_attributes_reference_source(ref_methods):
     assert got == want
     assert ref_methods["extract_attributes"](nested, parent_key="s", sep=".") \
         == extract_attributes(nested, parent_key="s", sep=".")
+
+
+def test_pickle_me_reference_source(ref_methods, tmp_path):
+    """pickleMe's attr-selection (probe pickle.dumps, skip PicklingError/
+    AttributeError/TypeError, Vent_Analysis.py:542-553) vs save_pickle:
+    identical surviving key sets and values on a state mixing picklable and
+    unpicklable attributes."""
+    import pickle
+    import threading
+
+    from ventjax.report.export import save_pickle
+
+    ref = _Stub()
+    ref.HPvent = np.arange(24.0).reshape(2, 3, 4)
+    ref.metadata = {"VDP": 3.5, "PatientName": "A^B"}
+    ref.version = "x"
+    ref.ds = open(REF_DIR / "README.md")        # TypeError: cannot pickle
+    ref.lock = threading.Lock()                 # TypeError
+    ref.fn = lambda x: x                        # local object -> skipped
+    try:
+        ref.pickleMe = ref_methods["pickleMe"].__get__(ref)
+        want_path = tmp_path / "ref.pkl"
+        ref.pickleMe(pickle_path=str(want_path))
+        state = {k: v for k, v in vars(ref).items() if k != "pickleMe"}
+        got_path = save_pickle(state, str(tmp_path / "ours.pkl"))
+        want = pickle.load(open(want_path, "rb"))
+        got = pickle.load(open(got_path, "rb"))
+        # the bound pickleMe itself is the one key unique to the ref stub
+        want.pop("pickleMe", None)
+        assert set(got) == set(want)
+        assert np.array_equal(got["HPvent"], want["HPvent"])
+        assert got["metadata"] == want["metadata"]
+        assert "ds" not in got and "lock" not in got and "fn" not in got
+    finally:
+        ref.ds.close()

@@ -275,7 +275,9 @@ def save_pickle(state: Dict, pickle_path: str) -> str:
         try:
             pickle.dumps(value)
             out[key] = value
-        except Exception:
+        except (pickle.PicklingError, AttributeError, TypeError):
+            # the reference's exact skip set (Vent_Analysis.py:548-549);
+            # anything else propagates there too
             continue
     with open(pickle_path, "wb") as f:
         pickle.dump(out, f)
