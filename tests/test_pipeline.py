@@ -150,6 +150,115 @@ def test_cohort_export_pack_densifies_bitwise():
                               np.asarray(res.n4[lane]))
 
 
+def test_cohort_compact_pack_rebuilds_dense_channels():
+    """The round-5 compact transfer (n4 masked values + lattice vector,
+    defect as compaction indices) must rebuild: defect and CI channels
+    bit-identically, n4 bit-identically at every masked voxel (the only
+    voxels any metric reads), and the out-of-mask n4 background to ~1e-6
+    relative (host float64 lattice evaluation vs the device's
+    Precision.HIGH einsum)."""
+    from ventjax.pipeline.analyze import analyze_cohort, build_geometry
+    from ventjax.pipeline.cohort import (
+        _GeometryRunner, _densify_ci, _rebuild_compact_pack,
+    )
+
+    shape, vox = (32, 32, 8), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=512, ci_rmax=12, n4_fitting_levels=2,
+        n4_max_iters=5,
+    )
+    hp, mask, _ = make_cohort(4, shape=shape, vox=vox, seed=21)
+    mask[3] = 0.0  # invalid lane: rebuild must not crash, metrics NaN
+    runner = _GeometryRunner(shape, vox, cfg, mesh=None, batch_size=4)
+    pack = runner._fn(512, 8192, compact=True)(
+        jnp.asarray(hp), jnp.asarray(mask))
+    assert sorted(pack) == ["ci_cv", "cidx", "metrics", "n4_cv", "n_def",
+                            "phi"]
+
+    cfg8 = cfg.replace(n4_mask_pad=8192)
+    geom = build_geometry(vox, shape, cfg8)
+    res = jax.jit(lambda h, m: analyze_cohort(h, m, geom, cfg8))(
+        jnp.asarray(hp), jnp.asarray(mask))
+    host = jax.tree_util.tree_map(np.asarray, pack)
+    for lane in range(3):
+        lp = jax.tree_util.tree_map(lambda x: x[lane], host)
+        rb = _rebuild_compact_pack(lp, hp[lane], mask[lane], cfg8)
+        assert np.array_equal(_densify_ci(rb), np.asarray(res.ci_map[lane]))
+        assert np.array_equal(rb["defect"].astype(np.float32),
+                              np.asarray(res.defect[lane]))
+        m = mask[lane].reshape(-1) > 0
+        got, want = rb["n4"].reshape(-1), np.asarray(res.n4[lane]).reshape(-1)
+        np.testing.assert_array_equal(got[m], want[m])
+        rel = np.abs(got[~m] - want[~m]) / np.maximum(np.abs(want[~m]), 1e-6)
+        assert rel.max() < 1e-5
+    # Invalid lane (empty mask): the device computed on the safe ones-mask,
+    # whose garbage defect overflows the K=512 pad — the rebuild carries the
+    # device's own flagged first-K truncation (cidx is shipped, not derived
+    # from the host mask); n4 has no masked voxels to overwrite, so it is
+    # purely host-regenerated.  Metrics are NaN/valid=False either way.
+    lp = jax.tree_util.tree_map(lambda x: x[3], host)
+    rb = _rebuild_compact_pack(lp, hp[3], mask[3], cfg8)
+    assert bool(np.asarray(pack["metrics"].ci_overflow)[3])
+    got_idx = np.flatnonzero(rb["defect"].reshape(-1))
+    dev_idx = np.flatnonzero(np.asarray(res.defect[3]).reshape(-1))
+    np.testing.assert_array_equal(got_idx, dev_idx[:512])
+    assert np.isnan(float(np.asarray(res.metrics.vdp)[3]))
+
+
+def test_cohort_compact_and_dense_exports_agree(tmp_path):
+    """run_cohort(compact_export=True) writes the same NIfTI defect/CI
+    channels and metrics as the dense transfer, and the same n4 channel at
+    every masked voxel.
+
+    (The masked-n4 bitwise claim compares two separately-jitted programs —
+    exact on this CPU backend where both compile to the same f32 schedule;
+    the portable guarantee is bit-exactness vs the SAME program's dense
+    channel, pinned by test_cohort_compact_pack_rebuilds_dense_channels
+    and on-chip by benchmarks/compact_pack_chip_check.py.  Differently-
+    partitioned programs can reassociate the field einsum at ~1e-5 —
+    see __graft_entry__ section 5.)"""
+    from ventjax.io.nifti import load as nifti_load
+    from ventjax.io.synthetic import write_study
+    from ventjax.pipeline.cohort import run_cohort
+
+    shape, vox = (32, 32, 8), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=512, ci_rmax=12, n4_fitting_levels=2,
+        n4_max_iters=5,
+    )
+    manifest = []
+    for i in range(2):
+        root = str(tmp_path / f"s{i}")
+        write_study(root, shape=shape, vox=vox, seed=40 + i,
+                    with_proton=False)
+        manifest.append({"id": f"s{i}", "xenon": f"{root}/xenon.dcm",
+                         "mask": f"{root}/mask"})
+    rc = run_cohort(manifest, str(tmp_path / "compact"), config=cfg,
+                    use_mesh=False, compact_export=True)
+    rd = run_cohort(manifest, str(tmp_path / "dense"), config=cfg,
+                    use_mesh=False, compact_export=False)
+    for mc, md in zip(sorted(rc, key=lambda r: r["id"]),
+                      sorted(rd, key=lambda r: r["id"])):
+        assert set(mc) == set(md)
+        for k in mc:  # identical metrics (NaN-aware: NaN == NaN here)
+            a, b = mc[k], md[k]
+            if isinstance(a, float) and np.isnan(a):
+                assert np.isnan(b), k
+            else:
+                assert a == b, k
+        sid = mc["id"]
+        ac, _ = nifti_load(str(tmp_path / "compact" / sid /
+                               f"{sid}_dataArray.nii"))
+        ad, _ = nifti_load(str(tmp_path / "dense" / sid /
+                               f"{sid}_dataArray.nii"))
+        # channels: 0 proton, 1 hp, 2 mask, 3 n4, 4 defect, 5 ci
+        for ch in (0, 1, 2, 4, 5):
+            np.testing.assert_array_equal(ac[..., ch], ad[..., ch])
+        m = ad[..., 2] > 0
+        np.testing.assert_array_equal(ac[..., 3][m], ad[..., 3][m])
+        assert np.allclose(ac[..., 3], ad[..., 3], rtol=1e-5, atol=1e-5)
+
+
 def test_densify_ci_truncates_overflow_lane_like_device():
     """A lane whose defect count exceeds the pad rebuilds exactly the
     device's own first-K truncation (flagged upstream, never silent)."""

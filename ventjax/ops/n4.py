@@ -192,7 +192,7 @@ def _bspline_rows(coords, n, n_elements, dtype):
     static_argnames=(
         "fitting_levels", "max_iters", "bins", "control_points",
         "mask_pad", "return_field", "return_overflow", "return_compacted",
-        "return_iters",
+        "return_iters", "return_phi",
         "use_pallas",
     ),
 )
@@ -210,6 +210,7 @@ def n4_bias_correction(
     return_field: bool = False,
     return_overflow: bool = False,
     return_iters: bool = False,
+    return_phi: bool = False,
     return_compacted: bool = False,
     compacted=None,
     use_pallas: Optional[bool] = None,
@@ -520,6 +521,14 @@ def n4_bias_correction(
         # Diagnostic: per-level count of iterations this call was still
         # unconverged (per-lane under vmap — quantifies lock-step waste).
         out = out + (jnp.stack(level_iters),)
+    if return_phi:
+        # The complete fitted model, flat: the per-level control lattices
+        # concatenated in level order (sizes = n4_phi_sizes).  ~1.9k floats
+        # at the defaults — the whole dense bias field compressed to the
+        # coefficients that generate it.  n4_field_from_phi_np rebuilds the
+        # dense field host-side (the cohort export's compact-N4 transfer).
+        out = out + (jnp.concatenate(
+            [p.reshape(-1).astype(dtype) for _, p in phi_totals]),)
     if return_compacted:
         # Compacted corrected values at the iteration's own field estimate
         # (field_v; bf16-accumulated, ~1e-4 relative of the dense field) —
@@ -529,3 +538,51 @@ def n4_bias_correction(
         wv_mask_only = (jnp.arange(P) < n_mask).astype(dtype)
         out = out + ((idx, corrected_vals, wv_mask_only),)
     return out if len(out) > 1 else out[0]
+
+
+def n4_phi_sizes(fitting_levels: int = 4, control_points: int = 4):
+    """Per-level flat lattice sizes of the return_phi vector."""
+    return [((control_points - 3) * 2 ** level + 3) ** 3
+            for level in range(fitting_levels)]
+
+
+def n4_field_from_phi_np(
+    phi_flat: np.ndarray,
+    shape,
+    fitting_levels: int = 4,
+    control_points: int = 4,
+) -> np.ndarray:
+    """Host (numpy, float64) dense log-bias field from the return_phi vector.
+
+    Mirrors the device's final dense evaluation (the per-level separable
+    einsum above) but in float64 numpy, so `hp * exp(-field)` reconstructs
+    the corrected volume from host-known inputs plus the ~1.9k-float
+    lattice vector.  NOT bit-identical to the device's Precision.HIGH
+    (bf16_3x) einsum — agreement is ~1e-6 relative (pinned by
+    tests/test_pipeline.py) — which is why the cohort export overwrites
+    every masked voxel with device-exact shipped values and uses this only
+    for the out-of-mask background, where no metric is ever computed.
+    """
+    H, W, D = shape
+    field = np.zeros((H, W, D), np.float64)
+    off = 0
+    for level in range(fitting_levels):
+        n_elements = (control_points - 3) * 2 ** level
+        ncp = n_elements + 3
+        k = ncp ** 3
+        phi = np.asarray(phi_flat[off:off + k], np.float64).reshape(
+            ncp, ncp, ncp)
+        off += k
+        br = bspline_basis_1d(H, n_elements)
+        bc = bspline_basis_1d(W, n_elements)
+        bs = bspline_basis_1d(D, n_elements)
+        # Separable: contract one axis at a time (never materialize the
+        # [H,W,D,ncp^3] broadcast np.einsum would otherwise build).
+        t = np.tensordot(br, phi, axes=(1, 0))      # [H, ncp, ncp]
+        t = np.tensordot(bc, t, axes=(1, 1))        # [W, H, ncp]
+        field += np.tensordot(t, bs, axes=(2, 1)).transpose(1, 0, 2)
+    if off != len(phi_flat):
+        raise ValueError(
+            f"phi vector has {len(phi_flat)} coefficients; levels="
+            f"{fitting_levels} control_points={control_points} expects {off}")
+    return field

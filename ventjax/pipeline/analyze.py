@@ -44,8 +44,16 @@ def analyze_study(
     mask: jnp.ndarray,
     geom: CIGeometry,
     config: VentConfig = DEFAULT_CONFIG,
+    export_compact: bool = False,
 ) -> VentResult:
-    """Full analysis of one [H,W,D] study.  Pure; jit/vmap freely."""
+    """Full analysis of one [H,W,D] study.  Pure; jit/vmap freely.
+
+    export_compact=True additionally fills VentResult.export with the
+    compact-transfer pack (masked n4 values + defect flags at the shared
+    mask-compaction indices, plus the B-spline lattice vector) — two [P]
+    gathers and a tiny concat, so the cohort driver can ship ~0.15 MB per
+    subject instead of two dense volumes (docs/PERF.md round-5 entry).
+    """
     c = config
     hp = hp.astype(jnp.float32)
     mask = mask.astype(jnp.float32)
@@ -66,7 +74,7 @@ def analyze_study(
         V = int(np.prod(hp.shape))
         P = V if c.n4_mask_pad is None else min(int(c.n4_mask_pad), V)
         comp = sort_compact_masked(hp.reshape(-1), safe_mask.reshape(-1) > 0, P)
-        n4, n4_overflow, n4_comp = n4_bias_correction(
+        n4_out = n4_bias_correction(
             hp,
             safe_mask,
             fitting_levels=c.n4_fitting_levels,
@@ -78,10 +86,15 @@ def analyze_study(
             control_points=c.n4_control_points,
             mask_pad=c.n4_mask_pad,
             return_overflow=True,
+            return_phi=export_compact,
             return_compacted=True,
             compacted=comp,
             use_pallas=c.n4_use_pallas,
         )
+        if export_compact:
+            n4, n4_overflow, n4_phi, n4_comp = n4_out
+        else:
+            n4, n4_overflow, n4_comp = n4_out
     with stage("vdp_mean_anchored"):
         defect, vdp = vdp_mean_anchored(n4, safe_mask, c.vdp_thresh)
         defect_border = (gradient_border(defect) == 1).astype(jnp.float32)
@@ -137,6 +150,21 @@ def analyze_study(
         n4_overflow=n4_overflow,
         valid=valid,
     )
+    export = None
+    if export_compact:
+        # Compact-transfer pack: the DENSE n4 gathered at the shared
+        # mask-compaction indices (comp[0] — ascending flat order, so the
+        # host's np.flatnonzero(mask) reproduces them exactly), plus the
+        # lattice vector that regenerates the bias field off-mask.  Masked
+        # voxels — the only ones any metric touches — rebuild bit-exactly;
+        # see pipeline/cohort._rebuild_compact_pack for the host side.
+        # (defect travels as its own compaction indices in the cohort pack:
+        # the 3x3 median can switch ON boundary voxels OUTSIDE the mask, so
+        # defect is NOT reconstructible from mask-index flags.)
+        export = {
+            "n4_cv": n4.reshape(-1)[comp[0]],
+            "phi": n4_phi,
+        }
     return VentResult(
         n4=n4,
         defect=defect,
@@ -145,6 +173,7 @@ def analyze_study(
         defect_border=defect_border,
         ci_map=ci_map,
         metrics=metrics,
+        export=export,
     )
 
 
@@ -153,9 +182,12 @@ def analyze_cohort(
     mask: jnp.ndarray,
     geom: CIGeometry,
     config: VentConfig = DEFAULT_CONFIG,
+    export_compact: bool = False,
 ) -> VentResult:
     """vmap of analyze_study over a [N,H,W,D] cohort."""
-    return jax.vmap(lambda h, m: analyze_study(h, m, geom, config))(hp, mask)
+    return jax.vmap(
+        lambda h, m: analyze_study(h, m, geom, config, export_compact)
+    )(hp, mask)
 
 
 def analyze_cohort_grouped(
@@ -164,6 +196,7 @@ def analyze_cohort_grouped(
     geom: CIGeometry,
     config: VentConfig = DEFAULT_CONFIG,
     group_size: int = 16,
+    export_compact: bool = False,
 ) -> VentResult:
     """analyze_cohort over a large [N,H,W,D] cohort, executed as sequential
     ``group_size``-lane groups inside ONE jitted program (lax.map).
@@ -185,12 +218,13 @@ def analyze_cohort_grouped(
     """
     B = hp.shape[0]
     if B <= group_size or B % group_size != 0:
-        return analyze_cohort(hp, mask, geom, config)
+        return analyze_cohort(hp, mask, geom, config, export_compact)
     G = B // group_size
     gh = hp.reshape(G, group_size, *hp.shape[1:])
     gm = mask.reshape(G, group_size, *mask.shape[1:])
     res = jax.lax.map(
-        lambda t: analyze_cohort(t[0], t[1], geom, config), (gh, gm)
+        lambda t: analyze_cohort(t[0], t[1], geom, config, export_compact),
+        (gh, gm),
     )
     return jax.tree_util.tree_map(
         lambda x: x.reshape(B, *x.shape[2:]), res

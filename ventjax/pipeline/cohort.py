@@ -138,12 +138,31 @@ def _pow2_at_least(n: int, floor: int = 256) -> int:
 class _GeometryRunner:
     """Per-(shape, vox) batcher: jit cache + sticky adaptive pads."""
 
-    def __init__(self, shape, vox, config: VentConfig, mesh, batch_size: int):
+    def __init__(self, shape, vox, config: VentConfig, mesh, batch_size: int,
+                 compact_export: bool = True, adaptive_pad: bool = False):
         self.shape = shape
         self.vox = vox
         self.config = config
         self.mesh = mesh
         self.bs = batch_size
+        # adaptive_pad (the serving path): pad a partial batch to the next
+        # power of two >= its size (bounded by bs and mesh divisibility)
+        # instead of always to the full batch.  A single-subject scan then
+        # uploads/pulls 1 lane, not bs zero-padded lanes — the dominant
+        # term of warm single-study latency (benchmarks/latency.py).  The
+        # jitted callables in _fns are shape-polymorphic (jax retraces per
+        # batch shape under one jit object), so warm-program identity is
+        # preserved; each new size pays one retrace+compile, and sizes are
+        # bounded to the {1,2,4,...,bs} set.  Offline cohort runs keep the
+        # fixed pad: their tail flush would otherwise compile an extra
+        # program mid-cohort for a one-off partial batch.
+        self.adaptive = adaptive_pad
+        # Compact device->host transfer (round-5, docs/PERF.md): ship n4 as
+        # its <=P masked values + the B-spline lattice vector and defect as
+        # its <=K compaction indices instead of two dense volumes.  Falls
+        # back to the dense pack per batch when a mask outgrows the n4 pad
+        # ceiling (the compact rebuild needs every masked voxel shipped).
+        self.compact = compact_export
         self.items: List[Tuple[Dict, Tuple]] = []
         # Sticky buckets: start small, grow on overflow, never shrink
         # within a run (keeps recompiles to a handful per geometry).
@@ -154,8 +173,8 @@ class _GeometryRunner:
         # workers (overflow discovery happens off the critical path).
         self._bucket_lock = threading.Lock()
 
-    def _fn(self, ci_pad: int, n4_pad: int):
-        key = (ci_pad, n4_pad)
+    def _fn(self, ci_pad: int, n4_pad: int, compact: bool = False):
+        key = (ci_pad, n4_pad, compact)
         if key not in self._fns:
             cfg = self.config.replace(
                 ci_max_defect_voxels=ci_pad, n4_mask_pad=n4_pad
@@ -165,33 +184,43 @@ class _GeometryRunner:
             ci_pad_k = ci_pad
 
             def f(h, m):
-                res = analyze_cohort(h, m, geom, cfg)
                 # Narrow the export payload IN-GRAPH (an eager astype on
-                # the dispatch thread wedges the axon tunnel, docs/PERF.md):
-                # - defect is 0/1 -> uint8, exact (host re-casts);
-                # - the dense f32 ci_map carries at most ci_pad nonzero
-                #   values, all sitting on defect voxels in ascending flat
-                #   order (the engines' own compaction) -> ship just those
-                #   K gathered values and rebuild the dense map host-side
-                #   (_densify_ci), bit-exact including the overflow-lane
-                #   truncation the engine itself performs.
-                # Together: 2.36 MB -> 1.33 MB per subject on a 39 MB/s
-                # link (benchmarks/streaming.py tracks the effect).
+                # the dispatch thread wedges the axon tunnel, docs/PERF.md).
+                # Both pack flavors ship the dense f32 ci_map as its <=K
+                # values gathered at the engines' own ascending-flat defect
+                # compaction -> the host rebuilds the dense map bit-exactly
+                # (_densify_ci), including the first-K truncation an
+                # overflowed lane has on device.
+                #
+                # Dense pack (fallback): n4 dense f32 + defect dense uint8
+                # (2.36 MB -> 1.33 MB per subject, round 4).
+                # Compact pack (default): n4 as its <=P masked values + the
+                # B-spline lattice vector (host rebuilds the off-mask
+                # background from its own hp, _rebuild_compact_pack) and
+                # defect as the SAME <=K compaction indices ci_cv already
+                # uses (1.33 MB -> ~0.16 MB per subject, round 5).
                 from ventjax.ops.basic import compact_mask_indices
+
+                res = analyze_cohort(h, m, geom, cfg, export_compact=compact)
 
                 def lane_cv(defect, ci_map):
                     cidx, n_def = compact_mask_indices(
                         defect.reshape(-1) != 0, ci_pad_k)
-                    return ci_map.reshape(-1)[cidx], n_def
+                    return cidx, ci_map.reshape(-1)[cidx], n_def
 
-                ci_cv, n_def = jax.vmap(lane_cv)(res.defect, res.ci_map)
-                return {
-                    "n4": res.n4,
-                    "defect": res.defect.astype(jnp.uint8),
+                cidx, ci_cv, n_def = jax.vmap(lane_cv)(res.defect, res.ci_map)
+                pack = {
                     "ci_cv": ci_cv,
                     "n_def": n_def,
                     "metrics": res.metrics,
                 }
+                if compact:
+                    pack.update(res.export)  # n4_cv, phi
+                    pack["cidx"] = cidx
+                else:
+                    pack["n4"] = res.n4
+                    pack["defect"] = res.defect.astype(jnp.uint8)
+                return pack
 
             if self.mesh is not None:
                 f = shard_cohort_fn(f, self.mesh)
@@ -222,6 +251,15 @@ class _GeometryRunner:
     def _n4_cap(self) -> int:
         return min(int(np.prod(self.shape)), self.config.n4_mask_pad)
 
+    def _eff_bs(self, n: int) -> int:
+        """Padded size for an n-subject batch (see adaptive_pad above)."""
+        if not self.adaptive:
+            return self.bs
+        n_dev = int(self.mesh.devices.size) if self.mesh is not None else 1
+        eff = _pow2_at_least(n, floor=1)
+        eff = min(max(eff, n_dev), self.bs)
+        return -(-eff // n_dev) * n_dev
+
     def dispatch(self, batch):
         """Dispatch one padded batch at the current sticky buckets.
 
@@ -233,7 +271,8 @@ class _GeometryRunner:
         batches come back through bump_for_retry + a retry queue.
         """
         n = len(batch)
-        pad = self.bs - n
+        eff_bs = self._eff_bs(n)
+        pad = eff_bs - n
         zeros = [np.zeros(self.shape, np.float32)] * pad
         hp_np = np.stack([d[0] for _, d in batch] + zeros)
         mask_np = np.stack([d[1] for _, d in batch] + zeros)
@@ -256,7 +295,12 @@ class _GeometryRunner:
         else:
             hp = jnp.asarray(hp_np)
             mask = jnp.asarray(mask_np)
-        res = self._fn(*pads)(hp, mask)
+        # Compact transfer requires every masked voxel in the n4 pad (the
+        # host rebuild overwrites exactly the shipped voxels); a batch whose
+        # largest mask exceeds the pad ceiling falls back to the dense pack
+        # (n4_overflow will flag it in the metrics regardless).
+        compact = self.compact and pads[1] >= max_mask
+        res = self._fn(*pads, compact=compact)(hp, mask)
         return res, pads
 
     def bump_for_retry(self, ci_ovf: bool, n4_ovf: bool, pads) -> bool:
@@ -296,6 +340,8 @@ def run_cohort(
     runners: Optional[Dict[Tuple, "_GeometryRunner"]] = None,
     export_npz: bool = False,
     shard_export: bool = False,
+    compact_export: bool = True,
+    adaptive_pad: bool = False,
 ) -> List[Dict]:
     """Analyze every subject in the manifest; returns per-subject metrics.
 
@@ -329,6 +375,22 @@ def run_cohort(
     full replicated result, each shard would claim every lane, and N
     processes would race-write the same files — mesh-less multihost runs
     fall back to process-0 export.
+
+    `compact_export` (default True): ship the n4 channel as its <=P masked
+    values + the B-spline lattice vector and defect as its <=K compaction
+    indices instead of two dense volumes (~0.16 MB vs 1.33 MB per subject
+    over the device->host link; docs/PERF.md round-5 entry).  Masked
+    voxels, defect, and CI channels rebuild bit-identically to the dense
+    transfer; the out-of-mask n4 background (never analyzed) is
+    regenerated host-side to ~1e-6 relative.  False restores the fully
+    dense device->host transfer.
+
+    `adaptive_pad` (default False; the serve daemon passes True): partial
+    batches pad to the next power of two >= their size instead of to the
+    full batch_size, trading one retrace+compile per new size for not
+    uploading/pulling bs-n zero lanes — see _GeometryRunner.adaptive.
+    Callers passing a persistent `runners` dict bake the choice in at
+    runner construction, like config/batch_size/use_mesh.
     """
     multihost = jax.process_count() > 1
     os.makedirs(out_dir, exist_ok=True)
@@ -501,7 +563,7 @@ def run_cohort(
                 # np.asarray shard reads stay on the dispatch thread like
                 # every other device touch.
                 local: Dict[int, Dict] = {}
-                for k in ("n4", "defect", "ci_cv", "n_def"):
+                for k in (k for k in pack if k != "metrics"):
                     for s in pack[k].addressable_shards:
                         lo = s.index[0].start or 0
                         data = np.asarray(s.data)
@@ -597,7 +659,9 @@ def run_cohort(
             return
         geo = (decoded[0].shape, decoded[2])
         if geo not in runners:
-            runners[geo] = _GeometryRunner(geo[0], geo[1], config, mesh, bs)
+            runners[geo] = _GeometryRunner(geo[0], geo[1], config, mesh, bs,
+                                           compact_export=compact_export,
+                                           adaptive_pad=adaptive_pad)
         runner = runners[geo]
         if runner.add(entry, decoded):
             batch = runner.take_batch()
@@ -646,36 +710,88 @@ def run_cohort(
     return results
 
 
-def _densify_ci(pack: Dict) -> np.ndarray:
+def _densify_ci(pack: Dict, shape=None) -> np.ndarray:
     """Rebuild the dense CI map from the compacted transfer.
 
     The engines write CI values only at defect voxels, in ascending flat
     (C-order) position — the same compaction order `ci_cv` was gathered
-    in — so scattering the first n_def values back over
-    flatnonzero(defect) reproduces the device's dense map bit-for-bit,
-    including the first-K truncation an overflowed lane has on device
-    (metrics.ci_overflow flags those; the cohort driver retries them at
-    grown pads before they ever reach export)."""
-    defect = np.asarray(pack["defect"])
+    in — so scattering the first n_def values back over the defect indices
+    reproduces the device's dense map bit-for-bit, including the first-K
+    truncation an overflowed lane has on device (metrics.ci_overflow flags
+    those; the cohort driver retries them at grown pads before they ever
+    reach export).  Dense packs carry the defect volume (host takes
+    flatnonzero); compact packs carry the device's own compaction indices
+    (`cidx`) directly, plus `shape` for the output volume."""
     cv = np.asarray(pack["ci_cv"])
     n = min(int(pack["n_def"]), cv.shape[0])
-    ci = np.zeros(defect.size, np.float32)
-    idx = np.flatnonzero(defect.reshape(-1))[:n]
+    if "defect" in pack:
+        defect = np.asarray(pack["defect"])
+        shape = defect.shape
+        idx = np.flatnonzero(defect.reshape(-1))[:n]
+    else:
+        idx = np.asarray(pack["cidx"][:n], np.int64)
+    ci = np.zeros(int(np.prod(shape)), np.float32)
     ci[idx] = cv[:len(idx)]
-    return ci.reshape(defect.shape)
+    return ci.reshape(shape)
+
+
+def _rebuild_compact_pack(pack: Dict, hp: np.ndarray, mask: np.ndarray,
+                          config: VentConfig) -> Dict:
+    """Rebuild dense n4 (f32) + defect (uint8) channels for ONE subject from
+    the compact transfer pack (see _GeometryRunner._fn).
+
+    - defect: scatter 1 at the device's own `cidx[:n_def]` compaction
+      indices — bit-exact (truncated only when n_def exceeded the pad
+      ceiling, which metrics.ci_overflow flags).
+    - n4: the host regenerates `hp * exp(-field)` from the shipped B-spline
+      lattice vector (float64 numpy, ops.n4.n4_field_from_phi_np), then
+      overwrites every masked voxel with the device-exact shipped value.
+      Masked voxels — the only voxels any metric, VDP, or CI computation
+      ever reads — are therefore bit-identical to the dense transfer; the
+      out-of-mask background (raw noise, analyzed by nothing) agrees with
+      the device to ~1e-6 relative (the HIGH-precision device einsum vs the
+      float64 host einsum; pinned by tests/test_pipeline.py).
+    An analysis-invalid subject (empty mask) has no masked voxels to
+    overwrite: its n4 channel is purely host-regenerated and its defect
+    channel is empty — its metrics carry valid=False either way.
+    """
+    from ventjax.ops.n4 import n4_field_from_phi_np
+
+    shape = hp.shape
+    n4_cv = np.asarray(pack["n4_cv"])
+    midx = np.flatnonzero(np.asarray(mask).reshape(-1) > 0)[:n4_cv.shape[0]]
+    field = n4_field_from_phi_np(
+        np.asarray(pack["phi"]), shape,
+        fitting_levels=config.n4_fitting_levels,
+        control_points=config.n4_control_points,
+    )
+    n4 = (np.asarray(hp, np.float64) * np.exp(-field)).astype(np.float32)
+    n4.reshape(-1)[midx] = n4_cv[:len(midx)]
+
+    defect = np.zeros(int(np.prod(shape)), np.uint8)
+    n = min(int(pack["n_def"]), np.asarray(pack["cidx"]).shape[0])
+    defect[np.asarray(pack["cidx"][:n], np.int64)] = 1
+    out = dict(pack)
+    out["n4"] = n4
+    out["defect"] = defect.reshape(shape)
+    return out
 
 
 def _write_subject(out_dir, entry, decoded, pack, results, lock,
                    npz=False, config=None, record=True,
                    exporter=None) -> None:
-    """pack: host-side dict with n4 (f32), defect (uint8), compacted
-    ci_cv/n_def (see _densify_ci), metrics (StudyMetrics) for ONE subject.
-    record=False skips the results append (shard_export records metrics on
-    the dispatch thread); exporter stamps which process wrote the files
-    into metrics.json."""
-    pack = dict(pack)
-    pack["ci_map"] = _densify_ci(pack)
+    """pack: host-side dict for ONE subject — either the dense flavor
+    (n4 f32 + defect uint8) or the compact flavor (n4_cv/phi/cidx, see
+    _rebuild_compact_pack) — plus compacted ci_cv/n_def (see _densify_ci)
+    and metrics (StudyMetrics).  record=False skips the results append
+    (shard_export records metrics on the dispatch thread); exporter stamps
+    which process wrote the files into metrics.json."""
     hp, mask, vox, ds, proton = decoded
+    pack = dict(pack)
+    if "n4_cv" in pack:
+        pack = _rebuild_compact_pack(
+            pack, hp, mask, config or DEFAULT_CONFIG)
+    pack["ci_map"] = _densify_ci(pack)
     sid = entry["id"]
     sdir = os.path.join(out_dir, sid)
     os.makedirs(sdir, exist_ok=True)

@@ -63,3 +63,11 @@ class VentResult:
     defect_border: jax.Array
     ci_map: jax.Array
     metrics: StudyMetrics
+    # Optional compact-transfer extras (analyze_study(export_compact=True)):
+    # {"n4_cv": [P] f32 dense-n4 values at the mask-compaction indices,
+    #  "defect01": [P] uint8 defect flags at the same indices,
+    #  "phi": [L] f32 concatenated B-spline lattices (ops.n4.n4_phi_sizes)}.
+    # The host rebuilds the dense n4/defect channels from these plus its
+    # own copy of hp/mask (pipeline/cohort._rebuild_compact_pack) instead
+    # of shipping two dense volumes over the device->host link.
+    export: dict = None

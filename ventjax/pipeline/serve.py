@@ -285,10 +285,16 @@ class WatchService:
                                  "xenon": os.path.join(root, "xenon.dcm"),
                                  "mask": os.path.join(root, "mask")})
             if manifest:
+                # adaptive_pad: serving dispatches pad to the smallest
+                # power-of-two cover of the arrival burst, so this warms
+                # the size-1 program per geometry — the single-study
+                # latency path (benchmarks/latency.py).  Burst sizes
+                # compile on first use (persistent XLA cache absorbs it).
                 run_cohort(manifest, os.path.join(tmp, "out"),
                            config=self.config, batch_size=self.batch_size,
                            use_mesh=self.use_mesh, resume=False,
-                           runners=self.runners, progress=progress)
+                           runners=self.runners, progress=progress,
+                           adaptive_pad=True)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
         dt = time.time() - t0
@@ -362,6 +368,7 @@ class WatchService:
                 batch_size=self.batch_size, use_mesh=self.use_mesh,
                 resume=True, runners=self.runners,
                 export_npz=self.export_npz,
+                adaptive_pad=True,
             )
         # A .done marker resolves the subject terminally for this inbox
         # state — including analysis-invalid subjects (e.g. empty mask),
