@@ -85,3 +85,59 @@ def test_automask_analysis_close_to_hand_mask(tmp_path, model_and_params,
     assert abs(mh["VDP"] - ma["VDP"]) < 2.0, (mh["VDP"], ma["VDP"])
     assert abs(mh["LungVolume"] - ma["LungVolume"]) \
         / max(mh["LungVolume"], 1e-9) < 0.12
+
+
+def test_mask_qc_passes_healthy_flags_corrupt(model_and_params):
+    """The inference-time QC gate (round-5 VERDICT item 4): healthy
+    predictions on in-family protons pass; the prediction on a deliberately
+    corrupted proton (pure noise — no anatomy to segment) is flagged
+    suspect; hand-built pathological masks are flagged too."""
+    from ventjax.models.segmentation import mask_qc
+
+    model, params = model_and_params
+    vox = (1.5, 1.5, 10.0)
+    ph = make_random_phantom(10_050, shape=(128, 128, 16))
+    pred = np.asarray(predict_mask(model, params, jnp.asarray(ph.proton)))
+    qc = mask_qc(pred, ph.vox)
+    assert not qc["suspect"], qc["reasons"]
+
+    rng = np.random.default_rng(5)
+    noise_proton = rng.normal(500.0, 200.0, (128, 128, 16)).astype(np.float32)
+    pred_bad = np.asarray(predict_mask(model, params,
+                                       jnp.asarray(noise_proton)))
+    qc_bad = mask_qc(pred_bad, vox)
+    assert qc_bad["suspect"], (
+        "a mask predicted from pure noise passed every plausibility check: "
+        f"{qc_bad['stats']}")
+
+    # direct pathological shapes
+    speckle = (rng.random((128, 128, 16)) < 0.05).astype(np.float32)
+    assert mask_qc(speckle, vox)["suspect"]
+    empty = np.zeros((128, 128, 16), np.float32)
+    assert mask_qc(empty, vox)["suspect"]
+    one_sided = np.zeros((128, 128, 16), np.float32)
+    one_sided[30:90, 8:40, 4:12] = 1.0  # plausible volume, all on one side
+    assert mask_qc(one_sided, vox)["suspect"]
+    clipped = np.zeros((128, 128, 16), np.float32)
+    clipped[:, :30, :] = 1.0  # slab glued to the in-plane FOV edge
+    assert mask_qc(clipped, vox)["suspect"]
+
+
+def test_mask_qc_surfaces_in_cli_metadata(tmp_path, capsys):
+    """--auto-mask attaches automask_suspect/automask_qc to the exported
+    metadata (warn, never fail)."""
+    from ventjax.cli import main
+    from ventjax.io.phantom import make_phantom
+    from ventjax.io.synthetic import write_study
+
+    ph = make_phantom(shape=(128, 128, 16), vox=(1.5, 1.5, 10.0), seed=78)
+    root = str(tmp_path / "study")
+    write_study(root, phantom=ph)
+    rc = main(["analyze", "--xenon", f"{root}/xenon.dcm",
+               "--proton", f"{root}/proton.dcm", "--auto-mask",
+               "--out", str(tmp_path / "out"), "--max-defect", "16384"])
+    assert rc == 0
+    md = json.loads(capsys.readouterr().out)
+    assert "automask_suspect" in md
+    assert md["automask_suspect"] in (False, True)
+    assert isinstance(md.get("automask_qc", ""), str)

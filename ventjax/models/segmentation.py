@@ -191,3 +191,112 @@ def predict_mask(model, params, proton: jnp.ndarray, thresh: float = 0.5):
     mask = (jax.nn.sigmoid(logits) > thresh).astype(jnp.float32)
     mask = jnp.transpose(mask.reshape(n, d, h, w), (0, 2, 3, 1))
     return mask[0] if single else mask
+
+
+# ---------------------------------------------------------------------------
+# Inference-time mask QC (round-5 VERDICT item 4)
+# ---------------------------------------------------------------------------
+
+def mask_qc(
+    mask,
+    vox,
+    volume_bounds_l=(0.2, 13.0),
+    max_major_components: int = 2,
+    stray_fraction_max: float = 0.05,
+    edge_fraction_max: float = 0.01,
+    asymmetry_max: float = 0.6,
+) -> dict:
+    """Plausibility checks for a (predicted) lung mask — warn, never fail.
+
+    The shipped U-Net checkpoint is validated on held-out draws of its own
+    phantom generator; on out-of-family anatomy a silently wrong mask would
+    propagate into every metric with valid=True.  This gate catches the
+    gross failure modes cheaply on the host:
+
+    - total volume outside physiologic bounds (default 0.2-13 liters —
+      generous so hand masks of children/pathology never false-alarm);
+    - more than ``max_major_components`` connected components holding >=1%
+      of the mask each (two lungs, possibly fused at the carina -> 1-2),
+      or >``stray_fraction_max`` of voxels outside the two largest
+      components (speckle = classic segmentation failure);
+    - mask clipped by the FOV: >``edge_fraction_max`` of mask voxels on
+      the outermost faces of the volume;
+    - gross left/right asymmetry: the mask split at its centroid column
+      differs by more than ``asymmetry_max`` of the total.
+
+    Returns {"suspect": bool, "reasons": [str...], "stats": {...}} — the
+    CLI/facade surface it as metadata["automask_suspect"] and warn; they
+    do NOT fail the run (an unusual patient is not an error).  Connected-
+    component checks need scipy.ndimage; without scipy they are skipped.
+    """
+    import numpy as np
+
+    m = np.asarray(mask) > 0
+    reasons = []
+    stats = {}
+    n = int(m.sum())
+    vox_cc = float(np.prod(np.asarray(vox, np.float64))) / 1000.0
+    volume_l = n * vox_cc / 1000.0
+    stats["volume_l"] = volume_l
+    if n == 0:
+        return {"suspect": True, "reasons": ["mask is empty"], "stats": stats}
+    if not volume_bounds_l[0] <= volume_l <= volume_bounds_l[1]:
+        reasons.append(
+            f"lung volume {volume_l:.2f} L outside plausible bounds "
+            f"[{volume_bounds_l[0]:g}, {volume_bounds_l[1]:g}] L")
+
+    try:
+        from scipy import ndimage
+
+        labels, n_comp = ndimage.label(m)
+        sizes = np.sort(np.bincount(labels.reshape(-1))[1:])[::-1]
+        major = int((sizes >= 0.01 * n).sum())
+        stray = 1.0 - float(sizes[:2].sum()) / n
+        stats["components"] = int(n_comp)
+        stats["major_components"] = major
+        stats["stray_fraction"] = stray
+        if major > max_major_components:
+            reasons.append(
+                f"{major} major connected components (>{max_major_components}"
+                "); a lung mask has at most two")
+        if stray > stray_fraction_max:
+            reasons.append(
+                f"{stray:.1%} of mask voxels outside the two largest "
+                f"components (>{stray_fraction_max:.0%}): speckle")
+    except ImportError:  # pragma: no cover - scipy is normally present
+        pass
+
+    # In-plane faces only: thin-slab chest acquisitions legitimately have
+    # lung on the first/last SLICE, but lung on the in-plane image border
+    # means the FOV clipped it (or the mask leaked into background).
+    edge = np.zeros_like(m)
+    for ax in (0, 1):
+        sl = [slice(None)] * 3
+        for end in (0, -1):
+            sl[ax] = end
+            edge[tuple(sl)] = True
+    edge_frac = float((m & edge).sum()) / n
+    stats["edge_fraction"] = edge_frac
+    if edge_frac > edge_fraction_max:
+        reasons.append(
+            f"{edge_frac:.1%} of mask voxels on the in-plane FOV boundary "
+            f"(>{edge_fraction_max:.0%}): mask clipped or leaked to the edge")
+
+    # Split at the VOLUME midline (not the mask centroid — a one-sided
+    # mask is perfectly balanced around its own centroid): chest
+    # acquisitions center the patient, so a mask living overwhelmingly on
+    # one side of the image means a lung is missing from the prediction.
+    cols = np.where(m.any(axis=(0, 2)))[0]
+    mid = m.shape[1] // 2
+    left = int(m[:, :mid, :].sum())
+    right = n - left
+    asym = abs(left - right) / n
+    stats["asymmetry"] = asym
+    stats["col_span"] = [int(cols[0]), int(cols[-1])]
+    if asym > asymmetry_max:
+        reasons.append(
+            f"left/right split {left}/{right} voxels about the image "
+            f"midline ({asym:.0%} asymmetric, >{asymmetry_max:.0%}): "
+            "a lung may be missing")
+
+    return {"suspect": bool(reasons), "reasons": reasons, "stats": stats}
