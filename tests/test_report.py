@@ -129,6 +129,26 @@ def test_screenshot_writes_png(tmp_path):
     assert img.size[0] > 0 and img.size[1] > 0
 
 
+def test_screenshot_index0_only_mask_actionable_error(tmp_path):
+    """A mask whose signal lives only at index 0 on an axis can never be
+    kept by the reference's cropToData (index-0 quirk, Vent_Analysis.py:
+    433-440); the montage fails with an actionable ValueError instead of
+    an IndexError deep inside the crop (round-4 ADVICE)."""
+    import pytest
+
+    ph = make_phantom(shape=(32, 32, 4), seed=1)
+    mask = np.zeros_like(ph.mask)
+    mask[0, 10:20, 1:3] = 1.0  # rows: only index 0
+    from ventjax.oracle import calculate_border
+    with pytest.raises(ValueError, match="row 0"):
+        screenshot(
+            str(tmp_path / "s.png"), hp=ph.hp, mask=mask,
+            mask_border=calculate_border(mask), n4=ph.hp,
+            defect=ph.true_defect, ci_map=None, proton=None,
+            metadata={}, version="test",
+        )
+
+
 def test_pickle_roundtrip(tmp_path):
     state = {"a": np.arange(5), "b": "hello", "bad": lambda x: x}
     p = rexport.save_pickle(state, str(tmp_path / "s.pkl"))

@@ -11,7 +11,12 @@ are limited to:
   paths are missing and stdin prompts only on a TTY;
 - CI saturation clamps at Rmax and is counted in metadata
   (the reference raises ValueError, CI.py:101-104);
-- exports default to the current directory, not C:/PIRL/data.
+- exports default to the current directory, not C:/PIRL/data;
+- calculate_SNR(manualNoise=True) raises NotImplementedError: the
+  reference's True branch is dead code (the hpg subarray picker is
+  commented out, Vent_Analysis.py:352-355, leaving `noise` unbound —
+  it would NameError); failing loudly beats silently computing
+  auto-noise for a caller who asked for manual.
 """
 from __future__ import annotations
 
@@ -283,6 +288,18 @@ class Vent_Analysis:
         """SNR (Vent_Analysis.py:337-357).  NOTE: like the reference, the
         second positional arg is FOVbuffer (the reference passes the mask
         there by accident and overwrites it); the mask is self.mask."""
+        if manualNoise:
+            # Documented deviation (module docstring): the reference's
+            # manualNoise=True branch is dead (its interactive subarray
+            # picker is commented out, Vent_Analysis.py:352-355, so
+            # `noise` is unbound and the call would NameError).  Raise
+            # explicitly instead of silently returning auto-noise SNR.
+            raise NotImplementedError(
+                "manualNoise=True: the reference implementation's manual-"
+                "noise picker is commented-out dead code (Vent_Analysis.py"
+                ":352-355 would NameError); use the default automatic "
+                "noise region, or compute SNR from your own noise sample "
+                "directly: (signal.mean()-noise.mean())/noise.std()")
         fov = 20  # line 343 overwrites whatever was passed
         return float(_snr_op(
             jnp.asarray(np.asarray(A, np.float32)),

@@ -202,7 +202,10 @@ def build_4d_array(
             continue
         try:
             out[:, :, :, idx] = arr
-        except (ValueError, TypeError):
+        except Exception:  # noqa: BLE001 — mirrors the reference's bare
+            # except (Vent_Analysis.py:296-313): ANY failing assignment
+            # (shape mismatch, object dtype, exotic array-likes raising
+            # arbitrary errors) leaves the channel zeroed, silently.
             pass
     return out
 

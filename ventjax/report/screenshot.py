@@ -53,8 +53,7 @@ def _resolve_font(size: int):
         return ImageFont.load_default()
 
 
-def screenshot(
-    path: str,
+def montage_rgb(
     hp: np.ndarray,
     mask: np.ndarray,
     mask_border: np.ndarray,
@@ -62,13 +61,27 @@ def screenshot(
     defect: np.ndarray,
     ci_map: Optional[np.ndarray],
     proton: Optional[np.ndarray],
-    metadata: Dict,
-    version: str,
     crop_border: int = 5,
     parula_num: int = 64,
     parula_den: int = 40,
-) -> str:
-    """Write the annotated montage PNG; returns the path."""
+):
+    """The pre-annotation [H*7, W*n_slices, 3] float montage plus the crop
+    index lists — the pure-array core of screenShot (Vent_Analysis.py:
+    458-494), split out so the living oracle can compare it bitwise against
+    the exec'd reference body (tests/test_reference_source.py)."""
+    # crop_to_data pins the reference's index-0 quirk (row/col/slice 0 can
+    # never be kept, Vent_Analysis.py:433-440): a mask whose signal lives
+    # ONLY at index 0 on some axis would IndexError deep inside.  Check
+    # here so the montage fails with an actionable message instead.
+    for ax, name in ((0, "row"), (1, "col"), (2, "slice")):
+        other = tuple(i for i in range(3) if i != ax)
+        hit = np.where(mask.sum(axis=other) > 0)[0]
+        if hit.size and hit.max() == 0:
+            raise ValueError(
+                f"mask signal exists only at {name} 0; the reference's "
+                "cropToData can never keep index 0 (Vent_Analysis.py:"
+                "433-440) so no screenshot can be produced — shift or pad "
+                "the volume by one voxel on that axis")
     _, rr, cc, ss = crop_to_data(mask, border=crop_border)
     ix = np.ix_(rr, cc, ss)
 
@@ -97,11 +110,35 @@ def screenshot(
     n_slices = n4n.shape[2]
     from ventjax.report.montage import montage
     chans = [montage(stack_rows(c), grid_shape=(7, n_slices)) for c in range(3)]
-    image_arr = np.stack(chans, axis=2)
+    return np.stack(chans, axis=2), rr, cc, ss
+
+
+def screenshot(
+    path: str,
+    hp: np.ndarray,
+    mask: np.ndarray,
+    mask_border: np.ndarray,
+    n4: np.ndarray,
+    defect: np.ndarray,
+    ci_map: Optional[np.ndarray],
+    proton: Optional[np.ndarray],
+    metadata: Dict,
+    version: str,
+    crop_border: int = 5,
+    parula_num: int = 64,
+    parula_den: int = 40,
+) -> str:
+    """Write the annotated montage PNG; returns the path."""
+    image_arr, rr, cc, ss = montage_rgb(
+        hp, mask, mask_border, n4, defect, ci_map, proton,
+        crop_border=crop_border, parula_num=parula_num,
+        parula_den=parula_den,
+    )
+    n4n_shape = (len(rr), len(cc), len(ss))
 
     img = Image.fromarray(np.uint8(np.clip(image_arr, 0, 1) * 255))
     draw = ImageDraw.Draw(img)
-    h0, w0 = n4n.shape[0], n4n.shape[1]
+    h0, w0 = n4n_shape[0], n4n_shape[1]
     for k in ss:
         draw.text((k * w0 - w0 / 2, h0 * 1.8), f"{k + 1}",
                   fill=(255, 255, 255), font=_font(30))
