@@ -429,3 +429,62 @@ def test_two_process_halo_ci():
     nsats = {next(l for l in o.splitlines() if "MULTIHOST_HALO_OK" in l)
              .split("nsat=")[1].split()[0] for o in outs}
     assert len(nsats) == 1, nsats
+
+
+def test_two_process_halo_crash_and_restart():
+    """Halo-CI failure injection (round-5 VERDICT item 6c): one of the two
+    halo shards os._exit(42)s immediately after the pre-dispatch barrier.
+    Fail-stop property: the survivor must NOT complete with a silently
+    wrong CI map — it errors or wedges (and is killed).  Recovery = fresh
+    run (the halo op is pure compute); the restart must complete with the
+    bit-exact result on both processes."""
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_multihost_halo_crash_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def launch(port, crash_pid):
+        return [
+            subprocess.Popen(
+                [sys.executable, worker, str(port), str(pid),
+                 str(crash_pid)],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                env=env,
+            )
+            for pid in range(2)
+        ]
+
+    # Run 1: process 1 dies at the barrier.  The crasher must exit 42;
+    # the survivor must never print the OK line (kill it if it wedges
+    # rather than erroring — both are acceptable fail-stop outcomes).
+    procs = launch(_free_port(), crash_pid=1)
+    outs = [None, None]
+    try:
+        outs[1] = procs[1].communicate(timeout=300)[0]
+        try:
+            outs[0] = procs[0].communicate(timeout=60)[0]
+        except subprocess.TimeoutExpired:
+            procs[0].kill()
+            outs[0] = procs[0].communicate()[0] + "\n<KILLED WEDGED>"
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+    assert procs[1].returncode == 42, (procs[1].returncode, outs[1])
+    assert "HALO_CRASH_RUN_OK" not in (outs[0] or ""), (
+        f"survivor completed after peer death:\n{outs[0]}")
+
+    # Run 2 (the recovery): fresh processes, nobody crashes, bit-equal.
+    procs = launch(_free_port(), crash_pid=-1)
+    outs2 = []
+    try:
+        for p in procs:
+            outs2.append(p.communicate(timeout=540)[0])
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for pid, (p, out) in enumerate(zip(procs, outs2)):
+        assert p.returncode == 0, f"restart process {pid} failed:\n{out}"
+        assert "HALO_CRASH_RUN_OK" in out, out

@@ -96,6 +96,20 @@ def _cmd_analyze(args) -> int:
         xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton,
         mask_array=mask_array, config=cfg,
     )
+    if mask_array is not None:
+        # Inference-time QC gate on the predicted mask (round-5 VERDICT
+        # item 4): warn — never fail — and surface the verdict in the
+        # exported metadata so downstream consumers see it next to VDP.
+        from ventjax.models.segmentation import mask_qc
+
+        qc = mask_qc(mask_array, v.vox)
+        v.metadata["automask_suspect"] = qc["suspect"]
+        v.metadata["automask_qc"] = "; ".join(qc["reasons"])
+        if qc["suspect"]:
+            print("warning: auto-mask failed plausibility checks — "
+                  + "; ".join(qc["reasons"])
+                  + " — metrics below may be unreliable "
+                  "(metadata.automask_suspect=true)", file=sys.stderr)
     # Patient-info overrides: the GUI's edit buttons
     # (Vent_Analysis.py:819-838, 988-994) as flags.
     for flag, key in (
@@ -174,7 +188,11 @@ def _cmd_analyze(args) -> int:
     summary = {k: v.metadata[k] for k in
                ("SNR", "VDP", "VDP_lb", "VDP_km", "LungVolume",
                 "DefectVolume", "CI")}
-    print(json.dumps({k: _jsonable(x) for k, x in summary.items()}, indent=2))
+    out = {k: _jsonable(x) for k, x in summary.items()}
+    if "automask_suspect" in v.metadata:
+        out["automask_suspect"] = bool(v.metadata["automask_suspect"])
+        out["automask_qc"] = str(v.metadata["automask_qc"])
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -306,6 +324,7 @@ def _cmd_cohort(args) -> int:
             manifest, args.out, config=cfg, batch_size=args.batch,
             use_mesh=not args.no_mesh, resume=not args.fresh,
             export_npz=args.npz, shard_export=args.shard_export,
+            compact_export=not args.dense_export,
             progress=progress,
         )
     ok = sum(1 for r in results if r.get("valid"))
@@ -597,7 +616,9 @@ def _cmd_info(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
+    """The full ventjax argument parser (split from main so tests and docs
+    can introspect the subcommand surface without invoking anything)."""
     p = argparse.ArgumentParser(prog="ventjax")
     p.add_argument(
         "--no-compile-cache", action="store_true",
@@ -727,6 +748,12 @@ def main(argv=None) -> int:
                    help="emit a jax.profiler trace (TensorBoard/Perfetto)")
     c.add_argument("--npz", action="store_true",
                    help="also write each subject's versioned NPZ artifact")
+    c.add_argument("--dense-export", action="store_true",
+                   help="ship full dense n4/defect volumes device->host "
+                   "instead of the compact pack (masked n4 values + "
+                   "B-spline lattices + defect indices); the compact "
+                   "default is bit-exact at every analyzed voxel and "
+                   "~8x less transfer (docs/PERF.md round 5)")
     c.add_argument("--shard-export", action="store_true",
                    help="multi-host: each process exports its own batch "
                    "lanes (shared filesystem required) instead of "
@@ -843,8 +870,11 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("info", help="version / device info")
     i.set_defaults(fn=_cmd_info)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     if os.environ.get("VENTJAX_DEBUG_STACKS"):
         # Hang forensics (the axon tunnel can wedge a client mid-call
         # with zero CPU and no error): dump every thread's Python stack
