@@ -51,9 +51,12 @@ def main():
     # used P=32768 < the ~47k-voxel phantom masks and "found" 14k differing
     # voxels that were just the uncovered tail.
     runner = _GeometryRunner(shape, vox, cfg, mesh=None, batch_size=B)
+    from ventjax.pipeline.cohort import _decode_host_pack
+
     pack = runner._fn(4096, 65536, compact=True)(
         jnp.asarray(hp), jnp.asarray(mask))
-    host = jax.tree_util.tree_map(np.asarray, pack)
+    host = _decode_host_pack(jax.tree_util.tree_map(np.asarray, pack),
+                             runner.blob_schema(4096, 65536))
 
     cfgP = cfg.replace(n4_mask_pad=65536)
     geom = build_geometry(vox, shape, cfgP)

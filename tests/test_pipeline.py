@@ -170,16 +170,23 @@ def test_cohort_compact_pack_rebuilds_dense_channels():
     hp, mask, _ = make_cohort(4, shape=shape, vox=vox, seed=21)
     mask[3] = 0.0  # invalid lane: rebuild must not crash, metrics NaN
     runner = _GeometryRunner(shape, vox, cfg, mesh=None, batch_size=4)
-    pack = runner._fn(512, 8192, compact=True)(
+    from ventjax.pipeline.cohort import _decode_host_pack
+
+    raw = runner._fn(512, 8192, compact=True)(
         jnp.asarray(hp), jnp.asarray(mask))
-    assert sorted(pack) == ["ci_cv", "cidx", "metrics", "n4_cv", "n_def",
+    # the compact pack is exactly TWO device arrays (one data blob + one
+    # metrics vector — each host pull pays ~45 ms of tunnel latency)
+    assert sorted(raw) == ["blob", "mvec"]
+    host = _decode_host_pack(
+        jax.tree_util.tree_map(np.asarray, raw),
+        runner.blob_schema(512, 8192))
+    assert sorted(host) == ["ci_cv", "cidx", "metrics", "n4_cv", "n_def",
                             "phi"]
 
     cfg8 = cfg.replace(n4_mask_pad=8192)
     geom = build_geometry(vox, shape, cfg8)
     res = jax.jit(lambda h, m: analyze_cohort(h, m, geom, cfg8))(
         jnp.asarray(hp), jnp.asarray(mask))
-    host = jax.tree_util.tree_map(np.asarray, pack)
     for lane in range(3):
         lp = jax.tree_util.tree_map(lambda x: x[lane], host)
         rb = _rebuild_compact_pack(lp, hp[lane], mask[lane], cfg8)
@@ -198,7 +205,7 @@ def test_cohort_compact_pack_rebuilds_dense_channels():
     # purely host-regenerated.  Metrics are NaN/valid=False either way.
     lp = jax.tree_util.tree_map(lambda x: x[3], host)
     rb = _rebuild_compact_pack(lp, hp[3], mask[3], cfg8)
-    assert bool(np.asarray(pack["metrics"].ci_overflow)[3])
+    assert bool(np.asarray(host["metrics"].ci_overflow)[3])
     got_idx = np.flatnonzero(rb["defect"].reshape(-1))
     dev_idx = np.flatnonzero(np.asarray(res.defect[3]).reshape(-1))
     np.testing.assert_array_equal(got_idx, dev_idx[:512])

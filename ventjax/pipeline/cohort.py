@@ -125,14 +125,83 @@ def _decode_subject(entry: Dict) -> Tuple[Optional[np.ndarray], ...]:
         if vox is None and "PixelSpacing" in ds:
             vox = list(ds.PixelSpacing)
         vox = [float(vox[0]), float(vox[1]), float(ds.SpacingBetweenSlices)]
-        return (hp.astype(np.float32), mask.astype(np.float32), tuple(vox),
-                ds, proton)
+        # Narrow the host->device upload when EXACT (the dominant cost of
+        # a warm batch is the ~24 MB/s-effective tunnel upload of two
+        # dense f32 volumes, docs/PERF.md round 5): DICOM pixel data is
+        # integral, so hp is almost always uint16-representable and the
+        # mask uint8; the device casts back to f32 in-graph, bit-identical.
+        # The check runs here in the decode thread pool, off the dispatch
+        # critical path; any non-representable volume stays f32.
+        hp = hp.astype(np.float32)
+        u16 = hp.astype(np.uint16)
+        if np.array_equal(u16.astype(np.float32), hp):
+            hp = u16
+        mask = mask.astype(np.float32)
+        m8 = mask.astype(np.uint8)
+        if np.array_equal(m8.astype(np.float32), mask):
+            mask = m8
+        return hp, mask, tuple(vox), ds, proton
     except Exception:
         return None, None, None, None, None
 
 
 def _pow2_at_least(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
+
+
+# StudyMetrics fields in mvec column order.  Every field is exactly
+# f32-representable (floats are f32 already; counts < 2^24; bools 0/1),
+# so the [B, 11] vector round-trips losslessly.
+_METRIC_FIELDS = ("snr", "vdp", "vdp_lb", "vdp_km", "lung_volume",
+                  "defect_volume", "ci", "ci_saturated", "ci_overflow",
+                  "n4_overflow", "valid")
+
+
+def _pack_metrics_vec(metrics):
+    """In-graph: StudyMetrics -> [B, n_fields] (or [n_fields]) f32."""
+    return jnp.stack(
+        [getattr(metrics, f).astype(jnp.float32) for f in _METRIC_FIELDS],
+        axis=-1)
+
+
+def _metrics_from_vec(v):
+    """Host: mvec -> StudyMetrics of numpy columns (batch or single)."""
+    from ventjax.pipeline.result import StudyMetrics
+
+    v = np.asarray(v)
+    kw = {}
+    for i, f in enumerate(_METRIC_FIELDS):
+        col = v[..., i]
+        if f == "ci_saturated":
+            col = col.astype(np.int32)
+        elif f in ("ci_overflow", "n4_overflow", "valid"):
+            col = col.astype(bool)
+        kw[f] = col
+    return StudyMetrics(**kw)
+
+
+def _decode_host_pack(host: Dict, schema) -> Dict:
+    """Host-side pack decode: split the single-transfer blob back into its
+    fields (bitcasting the int32 lanes), and mvec back into StudyMetrics.
+    Accepts batch-level ([B, ...]) or lane-level arrays."""
+    out = {k: np.asarray(v) for k, v in host.items()
+           if k not in ("blob", "mvec")}
+    if "mvec" in host:
+        out["metrics"] = _metrics_from_vec(host["mvec"])
+    if "blob" in host:
+        blob = np.asarray(host["blob"])
+        off = 0
+        for name, size, dt in schema:
+            seg = blob[..., off:off + size]
+            off += size
+            if dt == "i32":
+                seg = np.ascontiguousarray(seg).view(np.int32)
+            out[name] = seg
+        if off != blob.shape[-1]:
+            raise ValueError(
+                f"blob width {blob.shape[-1]} != schema width {off}")
+        out["n_def"] = out["n_def"][..., 0]
+    return out
 
 
 class _GeometryRunner:
@@ -209,18 +278,34 @@ class _GeometryRunner:
                     return cidx, ci_map.reshape(-1)[cidx], n_def
 
                 cidx, ci_cv, n_def = jax.vmap(lane_cv)(res.defect, res.ci_map)
-                pack = {
+                # Metrics travel as ONE [B, n_fields] f32 vector: each
+                # np.asarray round-trip over the tunnel pays ~45 ms of
+                # latency regardless of size, so 11 scalar leaves cost more
+                # than the whole data payload (docs/PERF.md round 5).  All
+                # fields are exactly f32-representable (ints < 2^24,
+                # bools 0/1).
+                mvec = _pack_metrics_vec(res.metrics)
+                if compact:
+                    # ... and the compact data pack travels as ONE f32
+                    # blob: int32 index lanes are bitcast (not cast), so
+                    # the transfer is bit-transparent end to end.
+                    bits = lambda x: jax.lax.bitcast_convert_type(
+                        x, jnp.float32)
+                    blob = jnp.concatenate([
+                        res.export["n4_cv"],
+                        res.export["phi"],
+                        ci_cv,
+                        bits(cidx),
+                        bits(n_def[:, None]),
+                    ], axis=1)
+                    return {"blob": blob, "mvec": mvec}
+                return {
+                    "n4": res.n4,
+                    "defect": res.defect.astype(jnp.uint8),
                     "ci_cv": ci_cv,
                     "n_def": n_def,
-                    "metrics": res.metrics,
+                    "mvec": mvec,
                 }
-                if compact:
-                    pack.update(res.export)  # n4_cv, phi
-                    pack["cidx"] = cidx
-                else:
-                    pack["n4"] = res.n4
-                    pack["defect"] = res.defect.astype(jnp.uint8)
-                return pack
 
             if self.mesh is not None:
                 f = shard_cohort_fn(f, self.mesh)
@@ -251,6 +336,18 @@ class _GeometryRunner:
     def _n4_cap(self) -> int:
         return min(int(np.prod(self.shape)), self.config.n4_mask_pad)
 
+    def blob_schema(self, ci_pad: int, n4_pad: int):
+        """(name, width, dtype) layout of the compact pack's blob."""
+        from ventjax.ops.n4 import n4_phi_sizes
+
+        V = int(np.prod(self.shape))
+        P = min(int(n4_pad), V)
+        L = sum(n4_phi_sizes(self.config.n4_fitting_levels,
+                             self.config.n4_control_points))
+        return (("n4_cv", P, "f32"), ("phi", L, "f32"),
+                ("ci_cv", ci_pad, "f32"), ("cidx", ci_pad, "i32"),
+                ("n_def", 1, "i32"))
+
     def _eff_bs(self, n: int) -> int:
         """Padded size for an n-subject batch (see adaptive_pad above)."""
         if not self.adaptive:
@@ -273,9 +370,18 @@ class _GeometryRunner:
         n = len(batch)
         eff_bs = self._eff_bs(n)
         pad = eff_bs - n
-        zeros = [np.zeros(self.shape, np.float32)] * pad
-        hp_np = np.stack([d[0] for _, d in batch] + zeros)
-        mask_np = np.stack([d[1] for _, d in batch] + zeros)
+
+        def _stack(lanes, narrow):
+            # All lanes narrow (decode-time exactness check) -> upload the
+            # narrow dtype and let the device cast back to f32 in-graph
+            # (exact); any wide lane upcasts the whole batch.
+            dt = narrow if all(l.dtype == narrow for l in lanes) \
+                else np.float32
+            return np.stack([l.astype(dt, copy=False) for l in lanes]
+                            + [np.zeros(self.shape, dt)] * pad)
+
+        hp_np = _stack([d[0] for _, d in batch], np.uint16)
+        mask_np = _stack([d[1] for _, d in batch], np.uint8)
 
         max_mask = int((mask_np > 0).sum(axis=(1, 2, 3)).max())
         with self._bucket_lock:
@@ -448,15 +554,17 @@ def run_cohort(
 
     def _export_batch(runner, batch, pack, pads):
         try:
-            # One batched device->host transfer per array (a [B,H,W,D]
-            # transfer costs barely more than a [H,W,D] one here; per-lane
-            # or per-scalar transfers each pay the full sync latency).
-            # This is also the first host sync of the batch — the overflow
-            # check lives here, off the dispatch thread.  (The pack itself
-            # was assembled on the DISPATCH thread: device computations
-            # dispatched from worker threads wedge the axon tunnel; this
-            # thread only pulls results.)
-            host = jax.tree_util.tree_map(np.asarray, pack)
+            # One batched device->host transfer per array — and the pack
+            # is TWO arrays total (blob + mvec) in compact mode, because
+            # every np.asarray round-trip pays ~45 ms of tunnel latency
+            # regardless of size.  This is also the first host sync of
+            # the batch — the overflow check lives here, off the dispatch
+            # thread.  (The pack itself was assembled on the DISPATCH
+            # thread: device computations dispatched from worker threads
+            # wedge the axon tunnel; this thread only pulls results.)
+            host = _decode_host_pack(
+                jax.tree_util.tree_map(np.asarray, pack),
+                runner.blob_schema(*pads))
             n = len(batch)
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
             n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
@@ -520,23 +628,24 @@ def run_cohort(
 
     def submit_export(runner, batch, res, pads, is_retry=False):
         nonlocal n_done
-        # `res` is already the narrowed export pack (n4 f32, defect uint8,
-        # compacted ci_cv + n_def, metrics) built in-graph by the runner's
-        # jitted fn — everything else of VentResult never leaves the
-        # device (the link measured 39 MB/s, docs/PERF.md).
+        # `res` is already the narrowed export pack built in-graph by the
+        # runner's jitted fn (compact: one data blob + one metrics vector;
+        # dense fallback: n4 f32 + defect uint8 + ci_cv/n_def + mvec) —
+        # everything else of VentResult never leaves the device (the link
+        # measures ~39 MB/s of bandwidth AND ~45 ms latency per transfer,
+        # docs/PERF.md).
         pack = res
+        schema = runner.blob_schema(*pads)
         if multihost and shard_export and runner.mesh is not None:
-            # Allgather ONLY the small per-lane metrics (the overflow/retry
-            # decision must be identical on every process); the big result
-            # volumes are never gathered — each process reads just its own
-            # addressable batch-axis shards and exports those lanes.
+            # Allgather ONLY the small per-lane metrics vector (the
+            # overflow/retry decision must be identical on every process);
+            # the big result data is never gathered — each process reads
+            # just its own addressable batch-axis shards and exports those
+            # lanes.
             from jax.experimental import multihost_utils
 
-            host_metrics = jax.tree_util.tree_map(
-                lambda x: np.asarray(
-                    multihost_utils.process_allgather(x, tiled=True)),
-                pack["metrics"],
-            )
+            host_metrics = _metrics_from_vec(np.asarray(
+                multihost_utils.process_allgather(pack["mvec"], tiled=True)))
             n = len(batch)
             ci_ovf = bool(host_metrics.ci_overflow[:n].any())
             n4_ovf = bool(host_metrics.n4_overflow[:n].any())
@@ -563,7 +672,7 @@ def run_cohort(
                 # np.asarray shard reads stay on the dispatch thread like
                 # every other device touch.
                 local: Dict[int, Dict] = {}
-                for k in (k for k in pack if k != "metrics"):
+                for k in (k for k in pack if k != "mvec"):
                     for s in pack[k].addressable_shards:
                         lo = s.index[0].start or 0
                         data = np.asarray(s.data)
@@ -572,9 +681,9 @@ def run_cohort(
                                 local.setdefault(lo + off, {})[k] = data[off]
                 owned = [
                     (batch[lane][0], batch[lane][1],
-                     {**local[lane],
+                     {**_decode_host_pack(local[lane], schema),
                       "metrics": jax.tree_util.tree_map(
-                          lambda x: x[lane], host_metrics)})
+                          lambda x, lane=lane: x[lane], host_metrics)})
                     for lane in sorted(local)
                 ]
                 if owned:
@@ -587,10 +696,13 @@ def run_cohort(
             # dispatch thread; only process 0 writes files, in workers.
             from jax.experimental import multihost_utils
 
-            host = jax.tree_util.tree_map(
-                lambda x: np.asarray(
-                    multihost_utils.process_allgather(x, tiled=True)),
-                pack,
+            host = _decode_host_pack(
+                jax.tree_util.tree_map(
+                    lambda x: np.asarray(
+                        multihost_utils.process_allgather(x, tiled=True)),
+                    pack,
+                ),
+                schema,
             )
             n = len(batch)
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
@@ -787,6 +899,10 @@ def _write_subject(out_dir, entry, decoded, pack, results, lock,
     (shard_export records metrics on the dispatch thread); exporter stamps
     which process wrote the files into metrics.json."""
     hp, mask, vox, ds, proton = decoded
+    # decode may have narrowed hp/mask for the device upload (uint16/uint8,
+    # exact); exports keep the f32 convention of the reference artifacts.
+    hp = np.asarray(hp, np.float32)
+    mask = np.asarray(mask, np.float32)
     pack = dict(pack)
     if "n4_cv" in pack:
         pack = _rebuild_compact_pack(
