@@ -97,3 +97,71 @@ def test_cohort_overflow_flags_stand_at_ceiling(tmp_path):
     assert results[0]["CI_overflow"]  # flagged, not silent, not hung
     m = json.load(open(os.path.join(out, "s", "metrics.json")))
     assert m["CI_overflow"]
+
+
+def test_bump_policy_escalates_tail_at_pad_ceiling():
+    """bump_for_retry: pad doubling up to the ceiling, then ONE tail
+    escalation (full-width sort tail), then the flag stands (round-5)."""
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.pipeline.cohort import _GeometryRunner
+
+    cfg = DEFAULT_CONFIG.replace(ci_max_defect_voxels=1024)
+    # shape big enough that the n4 pad can still double (cap = volume)
+    r = _GeometryRunner((64, 64, 8), (1.5, 1.5, 10.0), cfg, None, 1)
+    assert r.ci_bucket == 512 and not r.ci_tail_full
+    assert r.bump_for_retry(True, False, (512, 8192, False))
+    assert r.ci_bucket == 1024 and not r.ci_tail_full
+    assert r.bump_for_retry(True, False, (1024, 8192, False))
+    assert r.ci_bucket == 1024 and r.ci_tail_full  # ceiling -> escalate
+    # escalated run still flagged -> nothing left, flag stands
+    assert not r.bump_for_retry(True, False, (1024, 8192, True))
+    # n4 growth is independent and still works at the ci ceiling
+    assert r.bump_for_retry(False, True, (1024, 8192, True))
+    assert r.n4_bucket == 16384
+
+
+def test_tail_escalation_clears_dense_cluster_overflow():
+    """A dense tall cluster (the severe-disease shape) overflows the CI
+    TAIL budget even at the pad ceiling — the sort tail gets every
+    head-uncrossed interior row; the driver's full-width-tail escalation
+    must clear the flag and produce unsaturated CI values (<= Rmax)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.pipeline.cohort import (
+        _GeometryRunner, _decode_host_pack,
+    )
+
+    shape, vox = (48, 48, 12), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=8192, n4_fitting_levels=2, n4_max_iters=5,
+    )
+    hp = np.zeros(shape, np.float32)
+    mask = np.zeros(shape, np.float32)
+    mask[4:44, 4:44, :] = 1.0
+    hp[mask > 0] = 400.0
+    hp[12:36, 12:36, 1:11] = 4.0   # deep 24x24x10 defect cluster
+    runner = _GeometryRunner(shape, vox, cfg, None, 1, compact_export=True)
+    runner.ci_bucket = 8192  # skip the pad ladder straight to the ceiling
+
+    batch = [({"id": "t"}, (hp, mask, vox, None, None))]
+    ovf = None
+    for attempt in range(3):
+        pack, pads = runner.dispatch(batch)
+        host = _decode_host_pack(
+            jax.tree_util.tree_map(np.asarray, pack),
+            runner.blob_schema(*pads[:2]))
+        ovf = bool(host["metrics"].ci_overflow[0])
+        if not ovf:
+            break
+        assert runner.bump_for_retry(ovf, False, pads), \
+            "driver gave up while the tail escalation was still available"
+    assert attempt == 1, "expected exactly one escalation retry"
+    assert not ovf
+    assert runner.ci_tail_full
+    n = int(host["n_def"][0])
+    assert n > 8192 // 8, "load was supposed to exceed the default tail"
+    ci_vals = host["ci_cv"][0][:n]
+    assert ci_vals.max() <= cfg.ci_rmax, \
+        "saturated sentinel survived the escalation"

@@ -11,7 +11,7 @@ be passed as a `static_argnums` argument to `jax.jit`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 VERSION = "0.1.0"
 # Reference pipeline version string this build tracks for parity
@@ -66,6 +66,14 @@ class VentConfig:
     # Static upper bound on the number of defect voxels per volume (pads the
     # jit-static defect list; volumes with more defect voxels raise).
     ci_max_defect_voxels: int = 8192
+    # Tail budget of the pairwise engine's two-phase resolve: rows with no
+    # head-ball crossing are compacted to this many lanes for the sort
+    # tail.  None = the engine default max(256, K//8) — right for sparse
+    # loads; dense single-cluster loads can exceed it (flagged, never
+    # silent).  The cohort driver retries flagged batches with a
+    # full-width tail (= K) once the pad ceiling is reached, mirroring
+    # compat.ci_module's exactness retry.
+    ci_tail_k: Optional[int] = None
     # Index-space behavior at volume borders.  "wrap" replicates the
     # reference's linear-index aliasing (CI.py:65-68 px2vec has no bounds
     # clamp, so out-of-bounds sphere voxels alias in index space); "pad" is the

@@ -112,7 +112,7 @@ def analyze_study(
     with stage("ci"):
         if isinstance(geom, CIPairwiseGeometry):
             ci_map, n_saturated, ci_overflow = calculate_ci_pairwise(
-                defect, geom, c.ci_max_defect_voxels
+                defect, geom, c.ci_max_defect_voxels, tail_k=c.ci_tail_k
             )
         else:
             from ventjax.ops.ci import calculate_ci_staged

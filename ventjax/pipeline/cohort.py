@@ -237,16 +237,27 @@ class _GeometryRunner:
         # within a run (keeps recompiles to a handful per geometry).
         self.ci_bucket = min(512, config.ci_max_defect_voxels)
         self.n4_bucket = min(8192, config.n4_mask_pad)
+        # Sticky tail escalation: set when a CI overflow persists at the
+        # pad ceiling (tail-budget overflow, not defect-count overflow);
+        # config.ci_tail_k (a user-set budget) applies until then.
+        self.ci_tail_full = False
         self._fns: Dict[Tuple[int, int], Callable] = {}
         # Buckets are read by the dispatch thread and grown by export
         # workers (overflow discovery happens off the critical path).
         self._bucket_lock = threading.Lock()
 
-    def _fn(self, ci_pad: int, n4_pad: int, compact: bool = False):
-        key = (ci_pad, n4_pad, compact)
+    def _fn(self, ci_pad: int, n4_pad: int, tail_full: bool = False,
+            compact: bool = False):
+        key = (ci_pad, n4_pad, tail_full, compact)
         if key not in self._fns:
             cfg = self.config.replace(
-                ci_max_defect_voxels=ci_pad, n4_mask_pad=n4_pad
+                ci_max_defect_voxels=ci_pad, n4_mask_pad=n4_pad,
+                # Escalated batches run the CI tail at full width (= the
+                # defect pad) instead of the K//8 default — the fix for
+                # dense single-cluster loads whose uncrossed rows exceed
+                # the tail budget even at the pad ceiling (same policy as
+                # compat.ci_module's exactness retry).
+                ci_tail_k=ci_pad if tail_full else self.config.ci_tail_k,
             )
             geom = build_geometry(self.vox, self.shape, cfg)
 
@@ -389,7 +400,7 @@ class _GeometryRunner:
                 max(self.n4_bucket, _pow2_at_least(max_mask, 8192)),
                 self._n4_cap,
             )
-            pads = (self.ci_bucket, self.n4_bucket)
+            pads = (self.ci_bucket, self.n4_bucket, self.ci_tail_full)
         if jax.process_count() > 1 and self.mesh is not None:
             # Multi-host: every process decoded the same subjects (the
             # manifest is broadcast-consistent, see run_cohort); each feeds
@@ -409,23 +420,39 @@ class _GeometryRunner:
         res = self._fn(*pads, compact=compact)(hp, mask)
         return res, pads
 
+    @property
+    def _ci_cap(self) -> int:
+        return self.config.ci_max_defect_voxels
+
     def bump_for_retry(self, ci_ovf: bool, n4_ovf: bool, pads) -> bool:
         """Grow the sticky buckets after an observed overflow at `pads`.
 
-        Returns True if a retry at larger pads is warranted; False when the
-        configured ceilings are reached (the overflow flags then stand in
-        the exported metrics — never silent).  Growth is idempotent per pad
-        level so concurrent export workers observing the same overflow bump
-        once, not once each.
+        Returns True if a retry at larger budgets is warranted; False when
+        every escalation is exhausted (the overflow flags then stand in
+        the exported metrics — never silent).  Growth is idempotent per
+        level so concurrent export workers observing the same overflow
+        bump once, not once each.
+
+        The CI overflow flag covers two causes the driver cannot tell
+        apart: defect count > pad, and head-uncrossed rows > the tail
+        budget (dense single-cluster loads).  Pad doubling fixes both in
+        most cases (the default tail scales as K//8); when the flag still
+        stands at the pad ceiling, one final escalation re-runs with a
+        FULL-WIDTH tail (tail_k = K) — the same exactness retry
+        compat.ci_module performs — after which a standing flag is a true
+        defect-count overflow.
         """
-        ci_pad, n4_pad = pads
+        ci_pad, n4_pad, tail_full = pads
         with self._bucket_lock:
             retry = False
             if ci_ovf:
                 if self.ci_bucket <= ci_pad:
-                    self.ci_bucket = min(ci_pad * 2,
-                                         self.config.ci_max_defect_voxels)
-                retry = self.ci_bucket > ci_pad
+                    if self.ci_bucket < self._ci_cap:
+                        self.ci_bucket = min(ci_pad * 2, self._ci_cap)
+                    else:
+                        self.ci_tail_full = True
+                retry = (self.ci_bucket > ci_pad
+                         or (self.ci_tail_full and not tail_full))
             if n4_ovf:
                 if self.n4_bucket <= n4_pad:
                     self.n4_bucket = min(n4_pad * 2, self._n4_cap)
@@ -564,7 +591,7 @@ def run_cohort(
             # wedge the axon tunnel; this thread only pulls results.)
             host = _decode_host_pack(
                 jax.tree_util.tree_map(np.asarray, pack),
-                runner.blob_schema(*pads))
+                runner.blob_schema(*pads[:2]))
             n = len(batch)
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
             n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
@@ -635,7 +662,7 @@ def run_cohort(
         # measures ~39 MB/s of bandwidth AND ~45 ms latency per transfer,
         # docs/PERF.md).
         pack = res
-        schema = runner.blob_schema(*pads)
+        schema = runner.blob_schema(*pads[:2])
         if multihost and shard_export and runner.mesh is not None:
             # Allgather ONLY the small per-lane metrics vector (the
             # overflow/retry decision must be identical on every process);
