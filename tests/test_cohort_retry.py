@@ -165,3 +165,22 @@ def test_tail_escalation_clears_dense_cluster_overflow():
     ci_vals = host["ci_cv"][0][:n]
     assert ci_vals.max() <= cfg.ci_rmax, \
         "saturated sentinel survived the escalation"
+
+
+def test_decode_subject_narrows_upload_dtypes(tmp_path):
+    """_decode_subject ships integral volumes narrow (uint16 hp / uint8
+    mask — the device casts back to f32 in-graph, bit-identical) and falls
+    back to f32 when values are not exactly representable."""
+    from ventjax.io.synthetic import write_study
+    from ventjax.pipeline.cohort import _decode_subject
+
+    root = str(tmp_path / "s")
+    write_study(root, shape=(32, 32, 4), vox=(1.5, 1.5, 10.0), seed=1,
+                with_proton=False)
+    hp, mask, vox, ds, proton = _decode_subject(
+        {"id": "s", "xenon": f"{root}/xenon.dcm", "mask": f"{root}/mask"})
+    assert hp is not None
+    assert hp.dtype == np.uint16, hp.dtype
+    assert mask.dtype == np.uint8, mask.dtype
+    # exactness: the narrow copies round-trip to the f32 the device sees
+    assert np.array_equal(hp.astype(np.float32).astype(np.uint16), hp)
