@@ -184,3 +184,46 @@ def test_decode_subject_narrows_upload_dtypes(tmp_path):
     assert mask.dtype == np.uint8, mask.dtype
     # exactness: the narrow copies round-trip to the f32 the device sees
     assert np.array_equal(hp.astype(np.float32).astype(np.uint16), hp)
+
+
+def test_ceiling_overflow_falls_back_to_dense_defect_export(tmp_path):
+    """A subject whose defect count exceeds the CI pad CEILING exhausts
+    every budget (pad ladder + tail escalation) — the flag stands, but the
+    exported defect channel must still be COMPLETE: the driver re-runs the
+    batch with the dense pack (whose uint8 defect always carries every
+    voxel) instead of exporting the compact pack's first-K truncation
+    (round-5 review finding)."""
+    import json
+
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.io.nifti import load as nifti_load
+    from ventjax.io.phantom import make_phantom
+    from ventjax.io.synthetic import write_study
+    from ventjax.pipeline.cohort import run_cohort
+
+    shape, vox = (48, 48, 8), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=256,   # deliberately tiny ceiling
+        n4_fitting_levels=2, n4_max_iters=5,
+    )
+    ph = make_phantom(shape=shape, vox=vox, seed=31, n_defects=0)
+    hp = np.asarray(ph.hp).copy()
+    hp[16:28, 16:28, 2:6] = np.minimum(hp[16:28, 16:28, 2:6], 2.0)
+    ph.hp[...] = hp                 # ~500+ defect voxels > ceiling 256
+    root = str(tmp_path / "s0")
+    write_study(root, phantom=ph)
+    res = run_cohort(
+        [{"id": "s0", "xenon": f"{root}/xenon.dcm", "mask": f"{root}/mask"}],
+        str(tmp_path / "out"), config=cfg, use_mesh=False, batch_size=1,
+    )
+    m = res[0]
+    assert m["valid"] and m["CI_overflow"], m
+    data, _ = nifti_load(str(tmp_path / "out" / "s0" / "s0_dataArray.nii"))
+    n_defect_exported = int((data[..., 4] > 0).sum())
+    vox_cc = float(np.prod(vox)) / 1000.0
+    n_defect_metrics = int(round(m["DefectVolume"] * 1000.0 / vox_cc))
+    assert n_defect_exported == n_defect_metrics, (
+        n_defect_exported, n_defect_metrics)
+    assert n_defect_exported > cfg.ci_max_defect_voxels
+    # CI channel still carries only the flagged first-K values
+    assert int((data[..., 5] > 0).sum()) <= cfg.ci_max_defect_voxels

@@ -149,12 +149,17 @@ def _pow2_at_least(n: int, floor: int = 256) -> int:
     return max(floor, 1 << int(np.ceil(np.log2(max(n, 1)))))
 
 
-# StudyMetrics fields in mvec column order.  Every field is exactly
-# f32-representable (floats are f32 already; counts < 2^24; bools 0/1),
-# so the [B, 11] vector round-trips losslessly.
-_METRIC_FIELDS = ("snr", "vdp", "vdp_lb", "vdp_km", "lung_volume",
-                  "defect_volume", "ci", "ci_saturated", "ci_overflow",
-                  "n4_overflow", "valid")
+# StudyMetrics fields in mvec column order — derived from the dataclass so
+# adding a field cannot silently desync the vector.  Every field is exactly
+# f32-representable (floats are f32 already; counts < 2^24; bools 0/1), so
+# the [B, n_fields] vector round-trips losslessly.
+import dataclasses as _dataclasses
+
+from ventjax.pipeline.result import StudyMetrics as _StudyMetrics
+
+_METRIC_FIELDS = tuple(f.name for f in _dataclasses.fields(_StudyMetrics))
+_METRIC_INT_FIELDS = ("ci_saturated",)
+_METRIC_BOOL_FIELDS = ("ci_overflow", "n4_overflow", "valid")
 
 
 def _pack_metrics_vec(metrics):
@@ -166,18 +171,16 @@ def _pack_metrics_vec(metrics):
 
 def _metrics_from_vec(v):
     """Host: mvec -> StudyMetrics of numpy columns (batch or single)."""
-    from ventjax.pipeline.result import StudyMetrics
-
     v = np.asarray(v)
     kw = {}
     for i, f in enumerate(_METRIC_FIELDS):
         col = v[..., i]
-        if f == "ci_saturated":
+        if f in _METRIC_INT_FIELDS:
             col = col.astype(np.int32)
-        elif f in ("ci_overflow", "n4_overflow", "valid"):
+        elif f in _METRIC_BOOL_FIELDS:
             col = col.astype(bool)
         kw[f] = col
-    return StudyMetrics(**kw)
+    return _StudyMetrics(**kw)
 
 
 def _decode_host_pack(host: Dict, schema) -> Dict:
@@ -241,6 +244,14 @@ class _GeometryRunner:
         # pad ceiling (tail-budget overflow, not defect-count overflow);
         # config.ci_tail_k (a user-set budget) applies until then.
         self.ci_tail_full = False
+        # Final escalation: a CI overflow that survives every budget means
+        # the compact pack would export a TRUNCATED defect channel (only
+        # the first K indices travel); re-dispatch such batches with the
+        # dense pack, whose uint8 defect volume is always complete —
+        # metrics and the defect/NIfTI channels then match the round-4
+        # dense behavior exactly, with only the CI map carrying the
+        # flagged first-K truncation.
+        self.ci_force_dense = False
         self._fns: Dict[Tuple[int, int], Callable] = {}
         # Buckets are read by the dispatch thread and grown by export
         # workers (overflow discovery happens off the critical path).
@@ -416,7 +427,8 @@ class _GeometryRunner:
         # host rebuild overwrites exactly the shipped voxels); a batch whose
         # largest mask exceeds the pad ceiling falls back to the dense pack
         # (n4_overflow will flag it in the metrics regardless).
-        compact = self.compact and pads[1] >= max_mask
+        compact = (self.compact and pads[1] >= max_mask
+                   and not self.ci_force_dense)
         res = self._fn(*pads, compact=compact)(hp, mask)
         return res, pads
 
@@ -424,7 +436,22 @@ class _GeometryRunner:
     def _ci_cap(self) -> int:
         return self.config.ci_max_defect_voxels
 
-    def bump_for_retry(self, ci_ovf: bool, n4_ovf: bool, pads) -> bool:
+    @property
+    def _engine_pairwise(self) -> bool:
+        """Whether this geometry resolves to the pairwise CI engine (the
+        tail-budget escalation only exists there; the staged-ladder
+        fallback ignores ci_tail_k, so escalating would be a guaranteed
+        no-op recompile)."""
+        if not hasattr(self, "_pairwise_cached"):
+            from ventjax.ops.ci_pairwise import CIPairwiseGeometry
+
+            self._pairwise_cached = isinstance(
+                build_geometry(self.vox, self.shape, self.config),
+                CIPairwiseGeometry)
+        return self._pairwise_cached
+
+    def bump_for_retry(self, ci_ovf: bool, n4_ovf: bool, pads,
+                       compact_pack: bool = False) -> bool:
         """Grow the sticky buckets after an observed overflow at `pads`.
 
         Returns True if a retry at larger budgets is warranted; False when
@@ -449,10 +476,16 @@ class _GeometryRunner:
                 if self.ci_bucket <= ci_pad:
                     if self.ci_bucket < self._ci_cap:
                         self.ci_bucket = min(ci_pad * 2, self._ci_cap)
-                    else:
+                    elif not self.ci_tail_full and self._engine_pairwise:
                         self.ci_tail_full = True
+                    elif compact_pack and not self.ci_force_dense:
+                        # every CI budget is exhausted: the flag will
+                        # stand — make sure the EXPORT is not also
+                        # truncated (see ci_force_dense above)
+                        self.ci_force_dense = True
                 retry = (self.ci_bucket > ci_pad
-                         or (self.ci_tail_full and not tail_full))
+                         or (self.ci_tail_full and not tail_full)
+                         or (self.ci_force_dense and compact_pack))
             if n4_ovf:
                 if self.n4_bucket <= n4_pad:
                     self.n4_bucket = min(n4_pad * 2, self._n4_cap)
@@ -596,10 +629,11 @@ def run_cohort(
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
             n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
-                ci_ovf, n4_ovf, pads
+                ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):
-                log.info("geometry %s: pad overflow at ci=%d n4=%d, "
-                         "queueing batch for re-run", runner.shape, *pads)
+                log.info("geometry %s: overflow at ci=%d n4=%d "
+                         "tail_full=%s, queueing batch for re-run",
+                         runner.shape, *pads)
                 with retry_lock:
                     retry_queue.append((runner, batch))
                 _touch_export(0)  # keep-alive: the retry is progress too
@@ -677,7 +711,7 @@ def run_cohort(
             ci_ovf = bool(host_metrics.ci_overflow[:n].any())
             n4_ovf = bool(host_metrics.n4_overflow[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
-                ci_ovf, n4_ovf, pads
+                ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):
                 with retry_lock:
                     retry_queue.append((runner, batch))
@@ -735,7 +769,7 @@ def run_cohort(
             ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
             n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
-                ci_ovf, n4_ovf, pads
+                ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):
                 with retry_lock:
                     retry_queue.append((runner, batch))
