@@ -55,10 +55,11 @@ def save(path: str, data: np.ndarray, affine: np.ndarray | None = None,
     struct.pack_into("<4f", hdr, 312, *affine[2])
     hdr[344:348] = b"n+1\x00"
 
-    # One transpose copy total: tobytes(order="F") serializes a C-ordered
-    # array in Fortran order directly (asfortranarray first would add a
-    # second full copy), and header/extender/payload are written as three
-    # buffers instead of concatenated into a fourth.
+    # One copy at most: tobytes(order="F") serializes any layout in
+    # Fortran order directly (a pure memcpy when the caller passes an
+    # F-contiguous array — build_4d_array allocates its export array that
+    # way for exactly this reason), and header/extender/payload are
+    # written as three buffers instead of concatenated into a fourth.
     payload = data.tobytes(order="F")
     if path.endswith(".gz"):
         with gzip.open(path, "wb") as f:

@@ -194,7 +194,14 @@ def build_4d_array(
     broadcast into [H,W,D] fills the channel even when its shape differs
     (e.g. a (H,W,1) proton), and only a failing assignment leaves zeros.
     Pinned by tests/test_reference_source.py."""
-    out = np.zeros((hp.shape[0], hp.shape[1], hp.shape[2], 6), dtype=np.float32)
+    # Fortran allocation (values/semantics identical to the reference's
+    # default-C np.zeros — only the memory layout differs): NIfTI
+    # serializes in F order, and in F layout each [H,W,D] channel slab is
+    # contiguous, so BOTH the per-channel fills and nifti.save's
+    # tobytes(order="F") become straight memcpys — measured 25.6 -> 3.0 ms
+    # per subject on the export path (docs/PERF.md round 5).
+    out = np.zeros((hp.shape[0], hp.shape[1], hp.shape[2], 6),
+                   dtype=np.float32, order="F")
     out[:, :, :, 1] = hp
     out[:, :, :, 2] = mask
     for idx, arr in ((0, proton), (3, n4), (4, defect), (5, ci)):
