@@ -228,13 +228,25 @@ def test_cohort_compact_and_dense_exports_agree(tmp_path):
     from ventjax.io.synthetic import write_study
     from ventjax.pipeline.cohort import run_cohort
 
-    shape, vox = (32, 32, 8), (1.5, 1.5, 10.0)
+    shape = (32, 32, 8)
     cfg = DEFAULT_CONFIG.replace(
-        ci_max_defect_voxels=512, ci_rmax=12, n4_fitting_levels=2,
+        ci_max_defect_voxels=512, ci_rmax=16, n4_fitting_levels=2,
         n4_max_iters=5,
     )
+    # Two geometries: the flagship voxel size (pairwise CI engine) and
+    # (3.125, 3.125, 15) — a geometry whose float32 exactness proof fails
+    # at this rmax, forcing the gather-ladder engine — so the compact pack
+    # is validated on BOTH engine paths through the real driver.
+    from ventjax.ops.ci_pairwise import CIPairwiseGeometry
+    from ventjax.pipeline.analyze import build_geometry
+
+    assert isinstance(
+        build_geometry((1.5, 1.5, 10.0), shape, cfg), CIPairwiseGeometry)
+    assert not isinstance(
+        build_geometry((3.125, 3.125, 15.0), shape, cfg),
+        CIPairwiseGeometry), "ladder-forcing geometry stopped forcing"
     manifest = []
-    for i in range(2):
+    for i, vox in ((0, (1.5, 1.5, 10.0)), (1, (3.125, 3.125, 15.0))):
         root = str(tmp_path / f"s{i}")
         write_study(root, shape=shape, vox=vox, seed=40 + i,
                     with_proton=False)
@@ -244,6 +256,7 @@ def test_cohort_compact_and_dense_exports_agree(tmp_path):
                     use_mesh=False, compact_export=True)
     rd = run_cohort(manifest, str(tmp_path / "dense"), config=cfg,
                     use_mesh=False, compact_export=False)
+    assert len(rc) == len(rd) == 2
     for mc, md in zip(sorted(rc, key=lambda r: r["id"]),
                       sorted(rd, key=lambda r: r["id"])):
         assert set(mc) == set(md)

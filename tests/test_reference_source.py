@@ -689,3 +689,30 @@ def test_screenshot_montage_reference_source(ref_methods):
     assert want.dtype == got.dtype == real_np.uint8
     assert want.shape == got.shape
     assert np.array_equal(got, want)
+
+
+def test_ci_reference_slow_path_scaling_quirk(ref_ci):
+    """The reference's type='slow' CI path stores calculate_CV()[3]
+    WITHOUT the fast path's final *np.min(vox) scaling (CI.py:125, the
+    line its own comment marks 'NEEDS FIXING') — so slow == fast /
+    min(vox) voxel-for-voxel.  Executed here so the vendored oracle's
+    choice to track the FAST path (the one the app calls,
+    Vent_Analysis.py:267) rests on a run of both reference paths, not on
+    reading the comment."""
+    from ventjax.oracle.ci_oracle import calculate_ci_oracle
+
+    rng = np.random.default_rng(3)
+    defect = np.zeros((14, 12, 5), np.float64)
+    defect[4:7, 4:7, 1:3] = 1
+    for _ in range(4):
+        defect[rng.integers(1, 13), rng.integers(1, 11),
+               rng.integers(0, 5)] = 1
+    vox = np.asarray((1.5, 1.5, 10.0), np.float64)
+    fast = ref_ci.calculate_CI(defect.copy(), vox=vox, Rmax=8, type="fast")
+    slow = ref_ci.calculate_CI(defect.copy(), vox=vox, Rmax=8, type="slow")
+    nz = defect > 0
+    assert not np.array_equal(slow, fast), "reference slow path was fixed?"
+    np.testing.assert_array_equal(slow[nz] * np.min(vox), fast[nz])
+    # the vendored oracle tracks the fast (scaled) semantics bit-for-bit
+    ours = calculate_ci_oracle(defect, vox=tuple(vox), rmax=8)
+    np.testing.assert_array_equal(ours, fast)
