@@ -227,3 +227,41 @@ def test_ceiling_overflow_falls_back_to_dense_defect_export(tmp_path):
     assert n_defect_exported > cfg.ci_max_defect_voxels
     # CI channel still carries only the flagged first-K values
     assert int((data[..., 5] > 0).sum()) <= cfg.ci_max_defect_voxels
+
+
+def test_invalid_lane_does_not_drive_escalation(tmp_path):
+    """An empty-mask subject's safe-ones-mask garbage always flags CI
+    overflow; the driver must NOT burn the pad ladder / tail escalation /
+    dense fallback for it (round-5 review finding) — only VALID lanes'
+    overflows drive retries.  The healthy subject in the same batch still
+    exports normally."""
+    from ventjax.config import DEFAULT_CONFIG
+    from ventjax.io.phantom import make_phantom
+    from ventjax.io.synthetic import write_study
+    from ventjax.pipeline.cohort import run_cohort
+
+    shape, vox = (32, 32, 8), (1.5, 1.5, 10.0)
+    cfg = DEFAULT_CONFIG.replace(
+        ci_max_defect_voxels=512, ci_rmax=12, n4_fitting_levels=2,
+        n4_max_iters=5,
+    )
+    ok = make_phantom(shape=shape, vox=vox, seed=61)
+    bad = make_phantom(shape=shape, vox=vox, seed=62)
+    bad.mask[...] = 0.0
+    man = []
+    for sid, ph in (("ok", ok), ("bad", bad)):
+        root = str(tmp_path / sid)
+        write_study(root, phantom=ph)
+        man.append({"id": sid, "xenon": f"{root}/xenon.dcm",
+                    "mask": f"{root}/mask"})
+    runners = {}
+    res = run_cohort(man, str(tmp_path / "out"), config=cfg,
+                     use_mesh=False, batch_size=2, runners=runners)
+    by_id = {r["id"]: r for r in res}
+    assert by_id["ok"]["valid"] and not by_id["bad"]["valid"]
+    assert by_id["bad"]["CI_overflow"]  # the flag still exports
+    runner = next(iter(runners.values()))
+    # no ladder, no escalation, no dense fallback for the invalid lane
+    assert runner.ci_bucket == 512
+    assert not runner.ci_tail_full
+    assert not runner.ci_force_dense

@@ -96,20 +96,6 @@ def _cmd_analyze(args) -> int:
         xenon_path=args.xenon, mask_path=args.mask, proton_path=args.proton,
         mask_array=mask_array, config=cfg,
     )
-    if mask_array is not None:
-        # Inference-time QC gate on the predicted mask (round-5 VERDICT
-        # item 4): warn — never fail — and surface the verdict in the
-        # exported metadata so downstream consumers see it next to VDP.
-        from ventjax.models.segmentation import mask_qc
-
-        qc = mask_qc(mask_array, v.vox)
-        v.metadata["automask_suspect"] = qc["suspect"]
-        v.metadata["automask_qc"] = "; ".join(qc["reasons"])
-        if qc["suspect"]:
-            print("warning: auto-mask failed plausibility checks — "
-                  + "; ".join(qc["reasons"])
-                  + " — metrics below may be unreliable "
-                  "(metadata.automask_suspect=true)", file=sys.stderr)
     # Patient-info overrides: the GUI's edit buttons
     # (Vent_Analysis.py:819-838, 988-994) as flags.
     for flag, key in (
@@ -132,6 +118,25 @@ def _cmd_analyze(args) -> int:
         except ValueError as e:
             print(f"error: --mask-edit {e}", file=sys.stderr)
             return 2
+    if mask_array is not None:
+        # Inference-time QC gate on the predicted mask (round-5 VERDICT
+        # item 4): warn — never fail — and surface the verdict in the
+        # exported metadata so downstream consumers see it next to VDP.
+        # Runs AFTER --mask-edit so the verdict describes the mask the
+        # metrics are actually computed from (review finding): an edit
+        # that repairs a suspect prediction clears the flag, one that
+        # breaks it raises it.
+        import numpy as np
+        from ventjax.models.segmentation import mask_qc
+
+        qc = mask_qc(np.asarray(v.mask), v.vox)
+        v.metadata["automask_suspect"] = qc["suspect"]
+        v.metadata["automask_qc"] = "; ".join(qc["reasons"])
+        if qc["suspect"]:
+            print("warning: auto-mask failed plausibility checks — "
+                  + "; ".join(qc["reasons"])
+                  + " — metrics below may be unreliable "
+                  "(metadata.automask_suspect=true)", file=sys.stderr)
     if args.denoise is not None:
         # The reference's roadmap "Denoise Option" (README.md:29), prototyped
         # with Haar wavelets in its playground script.

@@ -45,10 +45,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import dataclasses as _dataclasses
+
 from ventjax.config import DEFAULT_CONFIG, VentConfig
 from ventjax.dist import make_batch_mesh, shard_cohort_fn
 from ventjax.io import dicom as dcm
 from ventjax.pipeline.analyze import analyze_cohort, build_geometry
+from ventjax.pipeline.result import StudyMetrics as _StudyMetrics
 from ventjax.report import export as rexport
 
 
@@ -153,10 +156,6 @@ def _pow2_at_least(n: int, floor: int = 256) -> int:
 # adding a field cannot silently desync the vector.  Every field is exactly
 # f32-representable (floats are f32 already; counts < 2^24; bools 0/1), so
 # the [B, n_fields] vector round-trips losslessly.
-import dataclasses as _dataclasses
-
-from ventjax.pipeline.result import StudyMetrics as _StudyMetrics
-
 _METRIC_FIELDS = tuple(f.name for f in _dataclasses.fields(_StudyMetrics))
 _METRIC_INT_FIELDS = ("ci_saturated",)
 _METRIC_BOOL_FIELDS = ("ci_overflow", "n4_overflow", "valid")
@@ -271,6 +270,10 @@ class _GeometryRunner:
                 ci_tail_k=ci_pad if tail_full else self.config.ci_tail_k,
             )
             geom = build_geometry(self.vox, self.shape, cfg)
+            # engine selection is pad-independent: record it for the
+            # escalation gate instead of rebuilding a geometry later
+            from ventjax.ops.ci_pairwise import CIPairwiseGeometry
+            self._pairwise_cached = isinstance(geom, CIPairwiseGeometry)
 
             ci_pad_k = ci_pad
 
@@ -443,6 +446,8 @@ class _GeometryRunner:
         fallback ignores ci_tail_k, so escalating would be a guaranteed
         no-op recompile)."""
         if not hasattr(self, "_pairwise_cached"):
+            # only reachable if bump_for_retry ever ran before any _fn
+            # (which records the engine from the geometry it builds anyway)
             from ventjax.ops.ci_pairwise import CIPairwiseGeometry
 
             self._pairwise_cached = isinstance(
@@ -626,8 +631,14 @@ def run_cohort(
                 jax.tree_util.tree_map(np.asarray, pack),
                 runner.blob_schema(*pads[:2]))
             n = len(batch)
-            ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
-            n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
+            # Overflow on a VALID lane only: an empty-mask subject's
+            # safe-ones-mask garbage always overflows the CI pad, and
+            # letting it drive the ladder would burn the whole recompile
+            # sequence and stick ci_force_dense for the geometry.  Its
+            # flags still export (valid=False tells the reader why).
+            m = host["metrics"]
+            ci_ovf = bool((m.ci_overflow & m.valid)[:n].any())
+            n4_ovf = bool((m.n4_overflow & m.valid)[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
                 ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):
@@ -708,8 +719,11 @@ def run_cohort(
             host_metrics = _metrics_from_vec(np.asarray(
                 multihost_utils.process_allgather(pack["mvec"], tiled=True)))
             n = len(batch)
-            ci_ovf = bool(host_metrics.ci_overflow[:n].any())
-            n4_ovf = bool(host_metrics.n4_overflow[:n].any())
+            # valid-lane overflows only — see the single-process comment
+            ci_ovf = bool((host_metrics.ci_overflow
+                           & host_metrics.valid)[:n].any())
+            n4_ovf = bool((host_metrics.n4_overflow
+                           & host_metrics.valid)[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
                 ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):
@@ -766,8 +780,14 @@ def run_cohort(
                 schema,
             )
             n = len(batch)
-            ci_ovf = bool(host["metrics"].ci_overflow[:n].any())
-            n4_ovf = bool(host["metrics"].n4_overflow[:n].any())
+            # Overflow on a VALID lane only: an empty-mask subject's
+            # safe-ones-mask garbage always overflows the CI pad, and
+            # letting it drive the ladder would burn the whole recompile
+            # sequence and stick ci_force_dense for the geometry.  Its
+            # flags still export (valid=False tells the reader why).
+            m = host["metrics"]
+            ci_ovf = bool((m.ci_overflow & m.valid)[:n].any())
+            n4_ovf = bool((m.n4_overflow & m.valid)[:n].any())
             if (ci_ovf or n4_ovf) and runner.bump_for_retry(
                 ci_ovf, n4_ovf, pads, compact_pack="blob" in pack
             ):

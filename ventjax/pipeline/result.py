@@ -65,9 +65,12 @@ class VentResult:
     metrics: StudyMetrics
     # Optional compact-transfer extras (analyze_study(export_compact=True)):
     # {"n4_cv": [P] f32 dense-n4 values at the mask-compaction indices,
-    #  "defect01": [P] uint8 defect flags at the same indices,
     #  "phi": [L] f32 concatenated B-spline lattices (ops.n4.n4_phi_sizes)}.
-    # The host rebuilds the dense n4/defect channels from these plus its
-    # own copy of hp/mask (pipeline/cohort._rebuild_compact_pack) instead
-    # of shipping two dense volumes over the device->host link.
+    # Defect is NOT carried here — it travels as its own <=K compaction
+    # indices in the cohort pack, because the 3x3 median can switch ON
+    # boundary voxels OUTSIDE the mask (mask-index flags cannot encode
+    # it; see pipeline/analyze.py).  The host rebuilds the dense n4
+    # channel from these plus its own hp/mask
+    # (pipeline/cohort._rebuild_compact_pack) instead of shipping a dense
+    # volume over the device->host link.
     export: dict = None
