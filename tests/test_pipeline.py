@@ -174,9 +174,10 @@ def test_cohort_compact_pack_rebuilds_dense_channels():
 
     raw = runner._fn(512, 8192, compact=True)(
         jnp.asarray(hp), jnp.asarray(mask))
-    # the compact pack is exactly TWO device arrays (one data blob + one
-    # metrics vector — each host pull pays ~45 ms of tunnel latency)
-    assert sorted(raw) == ["blob", "mvec"]
+    # the compact pack is exactly ONE device array (metrics vector +
+    # data lanes in one blob — each host pull pays ~45 ms of tunnel
+    # latency, so leaf count matters as much as bytes)
+    assert sorted(raw) == ["blob"]
     host = _decode_host_pack(
         jax.tree_util.tree_map(np.asarray, raw),
         runner.blob_schema(512, 8192))

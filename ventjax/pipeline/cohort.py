@@ -188,7 +188,7 @@ def _decode_host_pack(host: Dict, schema) -> Dict:
     Accepts batch-level ([B, ...]) or lane-level arrays."""
     out = {k: np.asarray(v) for k, v in host.items()
            if k not in ("blob", "mvec")}
-    if "mvec" in host:
+    if "mvec" in host:  # dense pack: metrics travel as their own array
         out["metrics"] = _metrics_from_vec(host["mvec"])
     if "blob" in host:
         blob = np.asarray(host["blob"])
@@ -202,6 +202,7 @@ def _decode_host_pack(host: Dict, schema) -> Dict:
         if off != blob.shape[-1]:
             raise ValueError(
                 f"blob width {blob.shape[-1]} != schema width {off}")
+        out["metrics"] = _metrics_from_vec(out.pop("mvec"))
         out["n_def"] = out["n_def"][..., 0]
     return out
 
@@ -311,19 +312,23 @@ class _GeometryRunner:
                 # bools 0/1).
                 mvec = _pack_metrics_vec(res.metrics)
                 if compact:
-                    # ... and the compact data pack travels as ONE f32
-                    # blob: int32 index lanes are bitcast (not cast), so
-                    # the transfer is bit-transparent end to end.
+                    # ... and the compact pack travels as ONE f32 blob —
+                    # metrics vector FIRST (so multihost shard_export can
+                    # allgather just blob[:, :n_fields]), then the data
+                    # lanes; int32 index lanes are bitcast (not cast), so
+                    # the transfer is bit-transparent end to end.  One
+                    # array = one ~45 ms tunnel round-trip per batch.
                     bits = lambda x: jax.lax.bitcast_convert_type(
                         x, jnp.float32)
                     blob = jnp.concatenate([
+                        mvec,
                         res.export["n4_cv"],
                         res.export["phi"],
                         ci_cv,
                         bits(cidx),
                         bits(n_def[:, None]),
                     ], axis=1)
-                    return {"blob": blob, "mvec": mvec}
+                    return {"blob": blob}
                 return {
                     "n4": res.n4,
                     "defect": res.defect.astype(jnp.uint8),
@@ -369,7 +374,8 @@ class _GeometryRunner:
         P = min(int(n4_pad), V)
         L = sum(n4_phi_sizes(self.config.n4_fitting_levels,
                              self.config.n4_control_points))
-        return (("n4_cv", P, "f32"), ("phi", L, "f32"),
+        return (("mvec", len(_METRIC_FIELDS), "f32"),
+                ("n4_cv", P, "f32"), ("phi", L, "f32"),
                 ("ci_cv", ci_pad, "f32"), ("cidx", ci_pad, "i32"),
                 ("n_def", 1, "i32"))
 
@@ -716,8 +722,10 @@ def run_cohort(
             # lanes.
             from jax.experimental import multihost_utils
 
+            mv = (pack["blob"][:, :len(_METRIC_FIELDS)]
+                  if "blob" in pack else pack["mvec"])
             host_metrics = _metrics_from_vec(np.asarray(
-                multihost_utils.process_allgather(pack["mvec"], tiled=True)))
+                multihost_utils.process_allgather(mv, tiled=True)))
             n = len(batch)
             # valid-lane overflows only — see the single-process comment
             ci_ovf = bool((host_metrics.ci_overflow
